@@ -1,0 +1,25 @@
+"""viorb_tpu — a TPU-native visual-inertial SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+ORB-SLAM2/VIORB C++ reference (sta105/VIORB): ORB feature extraction and
+Hamming matching, binary-BoW place recognition, IMU preintegration with
+gravity/scale/bias initialization, PnP/Sim3 RANSAC, and visual-inertial
+bundle adjustment as a batched Levenberg-Marquardt solver with
+Schur-complement reduction over landmarks, shardable across TPU meshes.
+
+Design: a functional core of pure jitted kernels over fixed-shape padded
+arrays (features, matches, window states, factor blocks), with a thin host
+orchestration layer replacing the reference's thread-and-mutex design
+(reference: src/System.cc:240-271 thread spawn) with immutable snapshots.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry/estimation math is f32 and precision-critical: JAX's default
+# matmul precision lowers f32 matmuls to bf16 passes, which measurably bends
+# rotation chains (0.01 rad over 50 composes). Force exact f32 matmuls by
+# default; throughput kernels (descriptor Hamming matmuls, Pallas) request
+# bf16/MXU precision explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,212 @@
+"""IMU preintegration as a masked `lax.scan`.
+
+Math parity with the reference preintegrator (reference:
+src/IMU/IMUPreintegrator.cpp:86-153 `update`): per sample (omega, acc, dt)
+with bias-corrected measurements,
+
+  cov <- A cov A^T + Bg Sg Bg^T + Ca Sa Ca^T     (state order P,V,phi)
+  J_P_ba += J_V_ba dt - 1/2 dR dt^2
+  J_P_bg += J_V_bg dt - 1/2 dR [a]x J_R_bg dt^2
+  J_V_ba += -dR dt
+  J_V_bg += -dR [a]x J_R_bg dt
+  J_R_bg  = Exp(w dt)^T J_R_bg - Jr(w dt) dt
+  dP += dV dt + 1/2 dR a dt^2 ; dV += dR a dt ; dR = norm(dR Exp(w dt))
+
+TPU-native differences from the reference:
+  * the whole sample stream is one `lax.scan` (jit-compiled once per
+    buffer capacity), masked so padding rows are no-ops;
+  * `preintegrate_batch` vmaps the scan over many (keyframe-gap) segments
+    at once — re-preintegrating an entire window after a bias update
+    (reference: src/LocalMapping.cc:285-292) is a single device launch;
+  * f32 state with rotation re-normalization each step (the reference
+    renormalizes too, IMUPreintegrator.cpp:122).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from viorb_tpu.geometry.so3 import exp_so3, hat, normalize_rotation, right_jacobian
+from viorb_tpu.imu.types import ImuBatch, ImuNoise
+
+
+class PreintegratedImu(NamedTuple):
+    """Preintegrated measurements over one segment.
+
+    delta_p/v: (...,3); delta_r: (...,3,3); J_*: (...,3,3);
+    cov: (...,9,9) over (P,V,phi); dt: (...,) total time.
+    """
+
+    delta_p: jax.Array
+    delta_v: jax.Array
+    delta_r: jax.Array
+    j_p_bg: jax.Array
+    j_p_ba: jax.Array
+    j_v_bg: jax.Array
+    j_v_ba: jax.Array
+    j_r_bg: jax.Array
+    cov: jax.Array
+    dt: jax.Array
+
+    @staticmethod
+    def identity(batch_shape=()) -> "PreintegratedImu":
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (*batch_shape, 3, 3))
+        zero3 = jnp.zeros((*batch_shape, 3), jnp.float32)
+        zero33 = jnp.zeros((*batch_shape, 3, 3), jnp.float32)
+        return PreintegratedImu(
+            delta_p=zero3,
+            delta_v=zero3,
+            delta_r=eye,
+            j_p_bg=zero33,
+            j_p_ba=zero33,
+            j_v_bg=zero33,
+            j_v_ba=zero33,
+            j_r_bg=zero33,
+            cov=jnp.zeros((*batch_shape, 9, 9), jnp.float32),
+            dt=jnp.zeros(batch_shape, jnp.float32),
+        )
+
+    def corrected_deltas(self, dbg: jax.Array, dba: jax.Array):
+        """First-order bias-corrected (dP, dV, dR) for bias increments
+        (dbg, dba) relative to the linearization bias (reference applies the
+        same correction inside the preintegration edges,
+        src/IMU/g2otypes.cpp:8-75)."""
+        dp = self.delta_p + (self.j_p_bg @ dbg[..., None])[..., 0] + (
+            self.j_p_ba @ dba[..., None]
+        )[..., 0]
+        dv = self.delta_v + (self.j_v_bg @ dbg[..., None])[..., 0] + (
+            self.j_v_ba @ dba[..., None]
+        )[..., 0]
+        dr = self.delta_r @ exp_so3((self.j_r_bg @ dbg[..., None])[..., 0])
+        return dp, dv, dr
+
+
+def _step(state: PreintegratedImu, inputs, noise: ImuNoise) -> PreintegratedImu:
+    omega, acc, dt, valid = inputs
+    dt = jnp.where(valid, dt, 0.0)
+    dt2 = dt * dt
+    w_dt = omega * dt
+    dR_inc = exp_so3(w_dt)
+    Jr = right_jacobian(w_dt)
+    acc_hat = hat(acc)
+    dR = state.delta_r
+
+    # --- covariance propagation (order P,V,phi) ---
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    dR_ah = dR @ acc_hat
+    A = jnp.zeros((9, 9), jnp.float32)
+    A = A.at[0:3, 0:3].set(I3)
+    A = A.at[3:6, 3:6].set(I3)
+    A = A.at[6:9, 6:9].set(dR_inc.T)
+    A = A.at[0:3, 3:6].set(I3 * dt)
+    A = A.at[0:3, 6:9].set(-0.5 * dR_ah * dt2)
+    A = A.at[3:6, 6:9].set(-dR_ah * dt)
+    Bg = jnp.zeros((9, 3), jnp.float32).at[6:9, :].set(Jr * dt)
+    Ca = jnp.zeros((9, 3), jnp.float32).at[0:3, :].set(0.5 * dR * dt2)
+    Ca = Ca.at[3:6, :].set(dR * dt)
+    cov = (
+        A @ state.cov @ A.T
+        + noise.gyro_meas_var * (Bg @ Bg.T)
+        + noise.acc_meas_var * (Ca @ Ca.T)
+    )
+
+    # --- bias Jacobians (use pre-update dR, J_R_bg) ---
+    j_p_ba = state.j_p_ba + state.j_v_ba * dt - 0.5 * dR * dt2
+    j_p_bg = state.j_p_bg + state.j_v_bg * dt - 0.5 * dR_ah @ state.j_r_bg * dt2
+    j_v_ba = state.j_v_ba - dR * dt
+    j_v_bg = state.j_v_bg - dR_ah @ state.j_r_bg * dt
+    j_r_bg = dR_inc.T @ state.j_r_bg - Jr * dt
+
+    # --- deltas (P with old V,R; V with old R) ---
+    delta_p = state.delta_p + state.delta_v * dt + 0.5 * (dR @ acc) * dt2
+    delta_v = state.delta_v + (dR @ acc) * dt
+    delta_r = normalize_rotation(dR @ dR_inc)
+
+    new = PreintegratedImu(
+        delta_p=delta_p,
+        delta_v=delta_v,
+        delta_r=delta_r,
+        j_p_bg=j_p_bg,
+        j_p_ba=j_p_ba,
+        j_v_bg=j_v_bg,
+        j_v_ba=j_v_ba,
+        j_r_bg=j_r_bg,
+        cov=cov,
+        dt=state.dt + dt,
+    )
+    # masked rows are identity updates
+    return jax.tree.map(
+        lambda n, o: jnp.where(valid, n, o), new, state
+    )
+
+
+def preintegrate(
+    batch: ImuBatch,
+    bias_g: jax.Array,
+    bias_a: jax.Array,
+    t_start: jax.Array,
+    t_end: jax.Array,
+    noise: ImuNoise = ImuNoise(),
+) -> PreintegratedImu:
+    """Preintegrate samples in `batch` over [t_start, t_end].
+
+    Follows the reference's integration scheme (KeyFrame::ComputePreInt /
+    Frame::ComputeIMUPreIntSinceLastFrame, reference src/Frame.cc:41-87):
+    sample i is integrated with dt = t_{i+1} - t_i using measurement i
+    (zero-order hold on the *previous* measurement), the first sample
+    integrates the gap from t_start, and the last valid sample integrates
+    up to t_end.
+    """
+    g = batch.gyro - bias_g
+    a = batch.acc - bias_a
+    n = batch.capacity
+    t = batch.t
+    m = batch.mask
+
+    # dt_i: for sample i, time until next sample (or t_end for last valid)
+    next_t = jnp.concatenate([t[1:], jnp.zeros((1,), t.dtype)])
+    next_valid = jnp.concatenate([m[1:], jnp.zeros((1,), bool)])
+    is_last = m & ~next_valid
+    dt = jnp.where(is_last, t_end - t, next_t - t)
+    dt = jnp.maximum(dt, 0.0)
+
+    # prepend the gap from t_start to the first sample, integrated with the
+    # first measurement (reference does the same, src/Frame.cc:50-60)
+    first_idx = jnp.argmax(m)  # first True (0 if none)
+    any_valid = jnp.any(m)
+    gap0 = jnp.where(any_valid, jnp.maximum(t[first_idx] - t_start, 0.0), 0.0)
+    g0 = g[first_idx]
+    a0 = a[first_idx]
+
+    init = PreintegratedImu.identity()
+    init = _step(init, (g0, a0, gap0, any_valid & (gap0 > 0)), noise)
+
+    def body(state, inp):
+        return _step(state, inp, noise), None
+
+    out, _ = jax.lax.scan(body, init, (g, a, dt, m & (dt > 0)))
+    return out
+
+
+def preintegrate_batch(
+    batches: ImuBatch,
+    bias_g: jax.Array,
+    bias_a: jax.Array,
+    t_start: jax.Array,
+    t_end: jax.Array,
+    noise: ImuNoise = ImuNoise(),
+) -> PreintegratedImu:
+    """vmap over K segments: batches has leading dim K, biases (K,3) or (3,),
+    t_start/t_end (K,). Used to re-preintegrate a whole keyframe window after
+    a bias update in one launch (reference loops serially,
+    src/LocalMapping.cc:285-292)."""
+    if bias_g.ndim == 1:
+        bias_g = jnp.broadcast_to(bias_g, (t_start.shape[0], 3))
+    if bias_a.ndim == 1:
+        bias_a = jnp.broadcast_to(bias_a, (t_start.shape[0], 3))
+    return jax.vmap(
+        lambda b, bg, ba, ts, te: preintegrate(b, bg, ba, ts, te, noise)
+    )(batches, bias_g, bias_a, t_start, t_end)
