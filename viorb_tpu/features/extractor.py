@@ -1,0 +1,137 @@
+"""The full ORB extractor: pyramid -> FAST -> distribute -> orient -> describe,
+as ONE jitted XLA program per image shape.
+
+Replaces the reference's ORBextractor::operator() (reference:
+src/ORBextractor.cc:765-853 and callers in src/Frame.cc:143) — per-frame
+hot kernel #1. All shapes static: each level contributes a fixed quota of
+keypoint slots (validity-masked), totalling `capacity`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viorb_tpu.features.fast import fast_score_map, grid_topk_keypoints
+from viorb_tpu.features.orb import (
+    EDGE_MARGIN,
+    compute_descriptors,
+    ic_angles,
+    moment_maps,
+)
+from viorb_tpu.features.pyramid import build_pyramid, gaussian_blur, level_shapes
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame feature set (the array-of-structs Frame
+    replacement; reference keeps per-frame vectors in src/Frame.cc).
+
+    xy: (N,2) f32 keypoint positions in level-0 pixel coords (x, y);
+    response: (N,) FAST arc score; angle: (N,) radians; level: (N,) i32;
+    sigma2: (N,) scale^2*level variance factor; desc01: (N,256) uint8 {0,1};
+    valid: (N,) bool.
+    """
+
+    xy: jax.Array
+    response: jax.Array
+    angle: jax.Array
+    level: jax.Array
+    desc01: jax.Array
+    valid: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+    def descriptors_pm1(self, dtype=jnp.bfloat16) -> jax.Array:
+        """{0,1} -> {-1,+1} recode for MXU Hamming matching."""
+        return (self.desc01.astype(dtype) * 2.0 - 1.0) * self.valid[:, None].astype(
+            dtype
+        )
+
+
+class OrbExtractor:
+    """Configured like the reference (launch/euroc.yaml:92-106): n_features,
+    n_levels=8, scale=1.2, FAST thresholds 20/7."""
+
+    def __init__(
+        self,
+        n_features: int = 1000,
+        n_levels: int = 8,
+        scale_factor: float = 1.2,
+        fast_threshold: float = 20.0,
+        fast_min_threshold: float = 7.0,
+        cell: int = 16,
+    ):
+        self.n_features = n_features
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
+        self.fast_threshold = fast_threshold
+        self.fast_min_threshold = fast_min_threshold
+        self.cell = cell
+        # per-level quotas ~ geometric decay like the reference's
+        # mnFeaturesPerLevel (src/ORBextractor.cc ctor)
+        inv = 1.0 / scale_factor
+        weights = np.array([inv**l for l in range(n_levels)])
+        quota = np.floor(n_features * weights / weights.sum()).astype(int)
+        quota[0] += n_features - quota.sum()
+        self.level_quota = [int(q) for q in quota]
+        self.capacity = int(sum(self.level_quota))
+        self.scales = [scale_factor**l for l in range(n_levels)]
+        self._jitted = {}
+
+    def level_sigma2(self) -> np.ndarray:
+        return np.array([s * s for s in self.scales], np.float32)
+
+    def _extract(self, image: jax.Array) -> FrameFeatures:
+        pyramid = build_pyramid(image, self.n_levels, self.scale_factor)
+        xs_all, ys0_all, resp_all, ang_all, lvl_all, desc_all, valid_all = (
+            [], [], [], [], [], [], []
+        )
+        out_xy = []
+        for l, img in enumerate(pyramid):
+            quota = self.level_quota[l]
+            if quota == 0:
+                continue
+            score = fast_score_map(img)
+            ys, xs, resp, valid = grid_topk_keypoints(
+                score,
+                quota,
+                cell=self.cell,
+                min_score=self.fast_min_threshold,
+                border=EDGE_MARGIN,
+            )
+            m10, m01 = moment_maps(img)
+            ang = ic_angles(m10, m01, ys, xs)
+            blurred = gaussian_blur(img)
+            desc = compute_descriptors(blurred, ys, xs, ang)
+            s = self.scales[l]
+            out_xy.append(
+                jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)
+            )
+            resp_all.append(resp)
+            ang_all.append(ang)
+            lvl_all.append(jnp.full((quota,), l, jnp.int32))
+            desc_all.append(desc)
+            valid_all.append(valid)
+        return FrameFeatures(
+            xy=jnp.concatenate(out_xy),
+            response=jnp.concatenate(resp_all),
+            angle=jnp.concatenate(ang_all),
+            level=jnp.concatenate(lvl_all),
+            desc01=jnp.concatenate(desc_all),
+            valid=jnp.concatenate(valid_all),
+        )
+
+    def extract(self, image) -> FrameFeatures:
+        """image: (H,W) f32/u8 array (0..255). Jit-cached per shape."""
+        image = jnp.asarray(image, jnp.float32)
+        key = image.shape
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._extract)
+        return self._jitted[key](image)
