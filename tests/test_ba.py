@@ -1,0 +1,296 @@
+"""Optimizer tests on synthetic problems with known ground truth:
+pose-only recovery from perturbed poses, vision BA convergence, VI BA with
+preintegration chains, marginal-prior consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viorb_tpu.geometry.camera import PinholeCamera, project
+from viorb_tpu.geometry.so3 import exp_so3
+from viorb_tpu.imu import ImuBatch, ImuNoise, NavState, preintegrate
+from viorb_tpu.optim import (
+    BAObservations,
+    Extrinsics,
+    ImuChain,
+    PoseObs,
+    ViBAState,
+    VisionBAState,
+    pose_optimization_tcw,
+    pose_optimization_vi,
+    vi_ba,
+    vision_ba,
+    vision_ba_two_phase,
+)
+
+CAM = PinholeCamera(fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480)
+
+
+def make_world(rng, n_points=120, depth=(4.0, 10.0)):
+    pts = np.stack(
+        [
+            rng.uniform(-4, 4, n_points),
+            rng.uniform(-3, 3, n_points),
+            rng.uniform(*depth, n_points),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return pts
+
+
+def look_from(t, rng=None):
+    """Camera at t looking down +z."""
+    return np.eye(3, dtype=np.float32), -np.asarray(t, np.float32)
+
+
+def test_pose_only_vision_recovers_pose(rng):
+    pts = make_world(rng)
+    R_gt = np.asarray(exp_so3(jnp.asarray([0.05, -0.1, 0.02])))
+    t_gt = np.array([0.3, -0.2, 0.5], np.float32)
+    pc = pts @ R_gt.T + t_gt
+    uv = np.asarray(project(CAM, jnp.asarray(pc)))
+    obs = PoseObs(
+        points=jnp.asarray(pts),
+        uv=jnp.asarray(uv),
+        inv_sigma2=jnp.ones(len(pts)),
+        valid=jnp.ones(len(pts), bool),
+    )
+    # start from a perturbed pose
+    R0 = np.asarray(exp_so3(jnp.asarray([0.02, 0.03, -0.05]))) @ R_gt
+    t0 = t_gt + np.array([0.2, -0.1, 0.15], np.float32)
+    R_est, t_est, inlier = pose_optimization_tcw(
+        jnp.asarray(R0), jnp.asarray(t0), obs, CAM
+    )
+    np.testing.assert_allclose(np.asarray(R_est), R_gt, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_est), t_gt, atol=5e-3)
+    assert np.asarray(inlier).sum() == len(pts)
+
+
+def test_pose_only_vision_rejects_outliers(rng):
+    pts = make_world(rng)
+    R_gt, t_gt = np.eye(3, dtype=np.float32), np.array([0.1, 0, 0.2], np.float32)
+    pc = pts @ R_gt.T + t_gt
+    uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+    n_out = 20
+    uv[:n_out] += rng.uniform(30, 80, size=(n_out, 2)) * np.sign(
+        rng.normal(size=(n_out, 2))
+    )
+    obs = PoseObs(
+        points=jnp.asarray(pts),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        inv_sigma2=jnp.ones(len(pts)),
+        valid=jnp.ones(len(pts), bool),
+    )
+    R0 = np.asarray(exp_so3(jnp.asarray([0.01, 0.02, -0.01]))) @ R_gt
+    t0 = t_gt + np.array([0.1, 0.05, -0.08], np.float32)
+    R_est, t_est, inlier = pose_optimization_tcw(
+        jnp.asarray(R0), jnp.asarray(t0), obs, CAM
+    )
+    inl = np.asarray(inlier)
+    assert not inl[:n_out].any()
+    assert inl[n_out:].sum() > 90
+    np.testing.assert_allclose(np.asarray(t_est), t_gt, atol=1e-2)
+
+
+def _build_vision_ba_problem(rng, k=5, m=100, noise=0.5):
+    pts = make_world(rng, m)
+    Rs, ts, uvs = [], [], []
+    for i in range(k):
+        Rk = np.asarray(exp_so3(jnp.asarray(rng.normal(size=3) * 0.03)))
+        tk = np.array([0.3 * i, 0.02 * i, 0.0], np.float32) * -1.0
+        pc = pts @ Rk.T + tk
+        uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+        uv += rng.normal(size=uv.shape) * noise
+        Rs.append(Rk)
+        ts.append(tk)
+        uvs.append(uv.astype(np.float32))
+    # landmark-major obs grid: every point seen by all k frames (R=k)
+    kf_idx = np.tile(np.arange(k, dtype=np.int32), (m, 1))
+    uv_grid = np.stack(uvs, axis=1)  # (m,k,2)
+    obs = BAObservations(
+        kf_idx=jnp.asarray(kf_idx),
+        uv=jnp.asarray(uv_grid),
+        inv_sigma2=jnp.ones((m, k)),
+        valid=jnp.ones((m, k), bool),
+    )
+    return pts, np.stack(Rs), np.stack(ts), obs
+
+
+def test_vision_ba_converges(rng):
+    m, k = 100, 5
+    pts, Rs, ts, obs = _build_vision_ba_problem(rng, k, m, noise=0.3)
+    # perturb everything except the first (gauge) frame
+    R0 = Rs.copy()
+    t0 = ts.copy()
+    for i in range(1, k):
+        R0[i] = np.asarray(exp_so3(jnp.asarray(rng.normal(size=3) * 0.01))) @ Rs[i]
+        t0[i] = ts[i] + rng.normal(size=3).astype(np.float32) * 0.05
+    p0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    state = VisionBAState(jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(p0))
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+    out, chi2 = vision_ba(state, obs, CAM, fixed, iters=15)
+    # reprojection residual should drop to noise level
+    rms = np.sqrt(np.asarray(chi2).mean())
+    assert rms < 1.0, f"rms {rms}"
+    # poses recovered (up to noise)
+    for i in range(1, k):
+        np.testing.assert_allclose(np.asarray(out.r_cw)[i], Rs[i], atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out.t_cw)[i], ts[i], atol=3e-2)
+
+
+def test_vision_ba_two_phase_drops_outliers(rng):
+    m, k = 80, 4
+    pts, Rs, ts, obs = _build_vision_ba_problem(rng, k, m, noise=0.3)
+    uv = np.asarray(obs.uv).copy()
+    uv[:10, 2] += 50.0  # corrupt obs of 10 points in frame 2
+    obs = obs._replace(uv=jnp.asarray(uv))
+    state = VisionBAState(jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(pts))
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+    out, obs2 = vision_ba_two_phase(state, obs, CAM, fixed)
+    v = np.asarray(obs2.valid)
+    assert not v[:10, 2].any()
+    assert v[10:, :].mean() > 0.95
+
+
+def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0):
+    """Body moves on a smooth arc with constant accel; camera = body."""
+    g_w = np.array([0, 0, -9.81], np.float32)
+    a_body = np.array([0.4, 0.1, 0.2], np.float32)  # world accel (R=I)
+    omega = np.array([0.0, 0.0, 0.3], np.float32)
+    navs = []
+    pres = []
+    t = 0.0
+    p = np.zeros(3, np.float32)
+    v = np.array([0.5, 0.0, 0.0], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    dt = 1.0 / hz
+    navs.append((p.copy(), v.copy(), R.copy()))
+    for kf in range(k - 1):
+        samples_g, samples_a, ts = [], [], []
+        for s in range(int(dt_kf * hz)):
+            # world-frame true accel (excluding gravity): a_body rotated
+            a_w = a_body
+            # measured: f_b = R^T (a_w - g_w)
+            f_b = R.T @ (a_w - g_w)
+            w_b = R.T @ omega
+            samples_g.append(w_b)
+            samples_a.append(f_b)
+            ts.append(t)
+            # integrate ground truth
+            p = p + v * dt + 0.5 * a_w * dt * dt
+            v = v + a_w * dt
+            R = R @ np.asarray(exp_so3(jnp.asarray(w_b * dt)))
+            t += dt
+        batch = ImuBatch.from_arrays(
+            np.stack(samples_g), np.stack(samples_a), np.array(ts), capacity=64
+        )
+        pre = preintegrate(
+            batch, jnp.zeros(3), jnp.zeros(3), ts[0], t, ImuNoise()
+        )
+        pres.append(pre)
+        navs.append((p.copy(), v.copy(), R.copy()))
+    return navs, pres, g_w
+
+
+def test_vi_ba_converges(rng):
+    k = 6
+    navs, pres, g_w = _simulate_vi_trajectory(k)
+    m = 80
+    pts = make_world(rng, m, depth=(5.0, 12.0))
+    ext = Extrinsics.identity()
+
+    # observations: project through body pose (camera = body)
+    uvs = []
+    for p, v, R in navs:
+        pc = (pts - p) @ R  # R^T (pts - p)
+        uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+        uv += rng.normal(size=uv.shape) * 0.3
+        uvs.append(uv.astype(np.float32))
+    kf_idx = np.tile(np.arange(k, dtype=np.int32), (m, 1))
+    obs = BAObservations(
+        kf_idx=jnp.asarray(kf_idx),
+        uv=jnp.asarray(np.stack(uvs, axis=1)),
+        inv_sigma2=jnp.ones((m, k)),
+        valid=jnp.ones((m, k), bool),
+    )
+
+    ps = np.stack([n[0] for n in navs])
+    vs = np.stack([n[1] for n in navs])
+    Rs = np.stack([n[2] for n in navs])
+    z = np.zeros((k, 3), np.float32)
+    nav_gt = NavState(
+        jnp.asarray(ps), jnp.asarray(vs), jnp.asarray(Rs),
+        jnp.asarray(z), jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+    )
+    # perturb non-fixed states
+    ps_n = ps + rng.normal(size=ps.shape).astype(np.float32) * 0.05
+    vs_n = vs + rng.normal(size=vs.shape).astype(np.float32) * 0.1
+    Rs_n = Rs.copy()
+    for i in range(1, k):
+        Rs_n[i] = Rs[i] @ np.asarray(exp_so3(jnp.asarray(rng.normal(size=3) * 0.01)))
+    ps_n[0], vs_n[0] = ps[0], vs[0]
+    nav0 = nav_gt._replace(p=jnp.asarray(ps_n), v=jnp.asarray(vs_n), r=jnp.asarray(Rs_n))
+    pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+
+    chain = ImuChain(
+        pre=jax.tree.map(lambda *xs: jnp.stack(xs), *pres),
+        valid=jnp.ones(k - 1, bool),
+        bias_cov_inv_diag=jnp.concatenate(
+            [jnp.full(3, 1.0 / ImuNoise().gyro_bias_rw_var),
+             jnp.full(3, 1.0 / ImuNoise().acc_bias_rw_var)]
+        ) * 0.005,
+    )
+    state = ViBAState(nav0, jnp.asarray(pts0))
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+    out, chi2 = vi_ba(
+        state, obs, CAM, ext, chain, jnp.asarray(g_w), fixed, iters=15
+    )
+    rms = np.sqrt(np.asarray(chi2).mean())
+    assert rms < 1.0, f"rms {rms}"
+    p_err = np.abs(np.asarray(out.nav.p) - ps).max()
+    assert p_err < 0.03, f"p_err {p_err}"
+    v_err = np.abs(np.asarray(out.nav.v) - vs).max()
+    assert v_err < 0.1, f"v_err {v_err}"
+
+
+def test_pose_optimization_vi(rng):
+    """VI frame optimization against a fixed anchor keyframe."""
+    k = 2
+    navs, pres, g_w = _simulate_vi_trajectory(k)
+    m = 60
+    pts = make_world(rng, m, depth=(5.0, 12.0))
+    ext = Extrinsics.identity()
+    p_j, v_j, R_j = navs[1]
+    pc = (pts - p_j) @ R_j
+    uv = np.asarray(project(CAM, jnp.asarray(pc))).copy() + rng.normal(size=(m, 2)) * 0.3
+    obs = PoseObs(
+        points=jnp.asarray(pts),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        inv_sigma2=jnp.ones(m),
+        valid=jnp.ones(m, bool),
+    )
+    z3 = jnp.zeros(3)
+    ns_i = NavState(
+        jnp.asarray(navs[0][0]), jnp.asarray(navs[0][1]), jnp.asarray(navs[0][2]),
+        z3, z3, z3, z3,
+    )
+    ns_j_gt = NavState(
+        jnp.asarray(p_j), jnp.asarray(v_j), jnp.asarray(R_j), z3, z3, z3, z3
+    )
+    # start from IMU-propagated-ish perturbed state
+    ns_j0 = ns_j_gt._replace(
+        p=ns_j_gt.p + jnp.asarray(rng.normal(size=3).astype(np.float32) * 0.05),
+        v=ns_j_gt.v + jnp.asarray(rng.normal(size=3).astype(np.float32) * 0.1),
+    )
+    bias_info = jnp.ones(6) * 1e4
+    ns_j, ns_i_out, inlier, marg_info = pose_optimization_vi(
+        ns_j0, ns_i, obs, CAM, ext, pres[0], jnp.asarray(g_w), bias_info
+    )
+    np.testing.assert_allclose(np.asarray(ns_j.p), p_j, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(ns_j.v), v_j, atol=0.15)
+    assert np.asarray(inlier).sum() > m * 0.9
+    # marginal info must be symmetric PSD
+    mi = np.asarray(marg_info)
+    np.testing.assert_allclose(mi, mi.T, atol=1e-2)
+    assert np.linalg.eigvalsh(mi).min() > -1e-3
