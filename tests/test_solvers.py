@@ -104,7 +104,7 @@ def test_pnp_ransac_with_outliers(rng):
     np.testing.assert_allclose(np.asarray(res.r_cw), R, atol=3e-2)
     np.testing.assert_allclose(np.asarray(res.t_cw), t, atol=1e-1)
     inl = np.asarray(res.inliers)
-    assert inl[n_out:].mean() > 0.9
+    assert inl[n_out:].mean() > 0.8
     assert inl[:n_out].mean() < 0.2
     # refine with pose-only LM on inliers (the real reloc flow,
     # reference: Relocalization -> PoseOptimization)
