@@ -1,0 +1,143 @@
+"""Jitted device kernels for the SLAM front end.
+
+These are the per-frame hot paths of the reference's Tracking thread
+(SearchByProjection / SearchForTriangulation / isInFrustum; reference:
+src/ORBmatcher.cc, src/Frame.cc:449 isInFrustum) as fixed-shape batched
+programs: project-all, gate-all, one MXU Hamming matmul, masked argmin.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from viorb_tpu.features.matching import (
+    hamming_matrix,
+    match_with_mask,
+    valid_gate,
+)
+from viorb_tpu.geometry.camera import PinholeCamera, in_image_mask, project
+
+
+class ProjectionMatches(NamedTuple):
+    point_for_feat: jax.Array  # (Nf,) best point row per frame feature (-1)
+    dist: jax.Array  # (Nf,)
+    n_matches: jax.Array  # ()
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def match_by_projection(
+    pts_xyz: jax.Array,  # (Np,3) world
+    pts_desc: jax.Array,  # (Np,256) {-1,1} bf16
+    pts_valid: jax.Array,  # (Np,)
+    pts_normal: jax.Array,  # (Np,3)
+    pts_min_dist: jax.Array,  # (Np,)
+    pts_max_dist: jax.Array,  # (Np,)
+    r_cw: jax.Array,
+    t_cw: jax.Array,
+    feat_xy: jax.Array,  # (Nf,2)
+    feat_desc: jax.Array,  # (Nf,256)
+    feat_valid: jax.Array,
+    cam: PinholeCamera,
+    radius: jax.Array,  # () search window px
+    max_dist: float = 50.0,
+):
+    """The reference's Tracking::SearchLocalPoints + SearchByProjection in
+    one launch: frustum-check all points, project, window-gate against all
+    features, Hamming-match, mutual best."""
+    pc = pts_xyz @ r_cw.T + t_cw
+    depth = pc[:, 2]
+    uv = project(cam, pc)
+    c_w = -r_cw.T @ t_cw
+    view_dir = pts_xyz - c_w
+    dist = jnp.linalg.norm(view_dir, axis=1)
+    # viewing angle vs normal < 60 deg (reference isInFrustum)
+    cos_view = jnp.sum(view_dir * pts_normal, axis=1) / jnp.maximum(dist, 1e-9)
+    frustum = (
+        pts_valid
+        & (depth > 0.05)
+        & in_image_mask(cam, uv, margin=1.0)
+        & (cos_view > 0.5)
+        & (dist >= 0.8 * pts_min_dist)
+        & (dist <= 1.2 * pts_max_dist)
+    )
+    # distance matrix points x features
+    d = hamming_matrix(pts_desc, feat_desc)
+    d2 = jnp.sum((uv[:, None, :] - feat_xy[None, :, :]) ** 2, axis=-1)
+    gate = (
+        frustum[:, None]
+        & feat_valid[None, :]
+        & (d2 <= radius * radius)
+    )
+    res = match_with_mask(d, gate, max_dist=max_dist, ratio=0.9, mutual=True)
+    # invert: per-feature point index
+    nf = feat_xy.shape[0]
+    np_ = pts_xyz.shape[0]
+    point_for_feat = jnp.full((nf,), -1, jnp.int32)
+    rows = jnp.arange(np_, dtype=jnp.int32)
+    ok = res.idx >= 0
+    point_for_feat = point_for_feat.at[jnp.where(ok, res.idx, nf)].set(
+        jnp.where(ok, rows, -1), mode="drop"
+    )
+    n = jnp.sum(ok)
+    visible = frustum
+    return point_for_feat, res, n, visible
+
+
+@jax.jit
+def fundamental_from_poses(
+    r1: jax.Array, t1: jax.Array, r2: jax.Array, t2: jax.Array, K: jax.Array
+):
+    """F12 such that x2^T F x1 = 0 for pixel coords (reference
+    LocalMapping::ComputeF12)."""
+    # relative pose: cam1 <- world <- cam2
+    R12 = r1 @ r2.T
+    t12 = -R12 @ t2 + t1
+    tx = jnp.array(
+        [
+            [0.0, -t12[2], t12[1]],
+            [t12[2], 0.0, -t12[0]],
+            [-t12[1], t12[0], 0.0],
+        ],
+        r1.dtype,
+    )
+    Kinv = jnp.linalg.inv(K)
+    E = tx @ R12  # x1_c^T E x2_c
+    return Kinv.T @ E @ Kinv  # x1^T F x2 ... note orientation below
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def match_for_triangulation(
+    xy1: jax.Array,  # (N,2) features of KF1 (no map point)
+    desc1: jax.Array,
+    free1: jax.Array,  # (N,) bool: valid & unmatched
+    xy2: jax.Array,
+    desc2: jax.Array,
+    free2: jax.Array,
+    F12: jax.Array,  # x1^T F12 x2 = 0
+    max_dist: float = 50.0,
+    epi_th: float = 3.84,
+):
+    """Epipolar-gated Hamming matching (reference
+    ORBmatcher::SearchForTriangulation)."""
+    n1 = xy1.shape[0]
+    n2 = xy2.shape[0]
+    p1 = jnp.concatenate([xy1, jnp.ones((n1, 1), xy1.dtype)], 1)
+    p2 = jnp.concatenate([xy2, jnp.ones((n2, 1), xy2.dtype)], 1)
+    # epipolar line of x2 in image 1: l1 = F12 @ x2; distance of x1 to l1
+    l1 = p2 @ F12.T  # (N2,3)
+    num = (p1 @ l1.T) ** 2  # (N1,N2)
+    den = jnp.maximum(l1[:, 0] ** 2 + l1[:, 1] ** 2, 1e-12)[None, :]
+    epi2 = num / den
+    gate = valid_gate(free1, free2) & (epi2 < epi_th**2 * 1.0)
+    d = hamming_matrix(desc1, desc2)
+    return match_with_mask(d, gate, max_dist=max_dist, ratio=0.8, mutual=True)
+
+
+@jax.jit
+def project_depth(r_cw, t_cw, xyz, cam: PinholeCamera):
+    pc = xyz @ r_cw.T + t_cw
+    return project(cam, pc), pc[:, 2]

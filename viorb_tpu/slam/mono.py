@@ -1,0 +1,532 @@
+"""Monocular vision-only SLAM pipeline (the minimum end-to-end slice,
+SURVEY.md §7 step 5).
+
+Host orchestration of the jitted kernels: plays the role of the
+reference's Tracking + LocalMapping threads (reference: src/Tracking.cc
+Track state machine at :883-1223, src/LocalMapping.cc:1019-1135) but in
+deterministic lock-step (the reference's non-realtime mode,
+Examples/ROS/ORB_VIO/src/ros_vio.cc:263-276): each frame is tracked, and
+keyframe insertion runs the mapping step synchronously.
+
+The map lives in MapStore (host); per-frame compute — feature extraction,
+projection matching, pose LM, triangulation matching, windowed BA — runs
+as fixed-shape jitted device programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viorb_tpu.features import OrbExtractor
+from viorb_tpu.geometry.camera import PinholeCamera, undistort_points
+from viorb_tpu.geometry.so3 import normalize_rotation
+from viorb_tpu.mapping.map import KeyFrameData, MapStore, MAX_OBS_PER_POINT
+from viorb_tpu.optim import (
+    BAObservations,
+    PoseObs,
+    VisionBAState,
+    pose_optimization_tcw,
+    vision_ba_two_phase,
+)
+from viorb_tpu.features.matching import (
+    hamming_matrix,
+    match_with_mask,
+    rotation_consistency_mask,
+    window_gate,
+    valid_gate,
+)
+from viorb_tpu.slam.kernels import (
+    fundamental_from_poses,
+    match_by_projection,
+    match_for_triangulation,
+)
+from viorb_tpu.solvers import triangulate_two_view, projection_matrix, two_view_init
+
+
+@dataclass
+class FrameRecord:
+    timestamp: float
+    xy: np.ndarray  # undistorted (N,2)
+    level: np.ndarray
+    angle: np.ndarray
+    desc01: np.ndarray
+    valid: np.ndarray
+    desc_pm1: jax.Array  # device (N,256) bf16
+    r_cw: Optional[np.ndarray] = None
+    t_cw: Optional[np.ndarray] = None
+    point_idx: Optional[np.ndarray] = None  # (N,) map point per feature
+
+
+class MonoSlam:
+    """Vision-only monocular SLAM (System facade counterpart for the
+    TrackMonocular path, reference include/System.h:91-93)."""
+
+    def __init__(
+        self,
+        cam: PinholeCamera,
+        n_features: int = 1000,
+        local_window: int = 10,
+        max_local_points: int = 4096,
+        max_ba_landmarks: int = 2048,
+        kf_max_interval: int = 10,
+        seed: int = 0,
+    ):
+        self.cam = cam
+        self.extractor = OrbExtractor(n_features=n_features)
+        self.map = MapStore()
+        self.state = "NOT_INITIALIZED"
+        self.local_window = local_window
+        self.max_local_points = max_local_points
+        self.max_ba_landmarks = max_ba_landmarks
+        self.kf_max_interval = kf_max_interval
+        self.ref_frame: Optional[FrameRecord] = None
+        self.last_frame: Optional[FrameRecord] = None
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self.key = jax.random.PRNGKey(seed)
+        self.n_tracked = 0
+        self.sigma2 = self.extractor.level_sigma2()
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _make_frame(self, image, ts) -> FrameRecord:
+        feats = self.extractor.extract(image)
+        xy_und = undistort_points(self.cam, feats.xy)
+        return FrameRecord(
+            timestamp=ts,
+            xy=np.asarray(xy_und),
+            level=np.asarray(feats.level),
+            angle=np.asarray(feats.angle),
+            desc01=np.asarray(feats.desc01),
+            valid=np.asarray(feats.valid),
+            desc_pm1=feats.descriptors_pm1(),
+            point_idx=np.full(feats.capacity, -1, np.int32),
+        )
+
+    def process_frame(self, image, ts: float) -> dict:
+        fr = self._make_frame(image, ts)
+        if self.state == "NOT_INITIALIZED":
+            self._try_initialize(fr)
+        else:
+            self._track(fr)
+        if fr.r_cw is not None:
+            self.trajectory.append((ts, fr.r_cw.copy(), fr.t_cw.copy()))
+        self.last_frame = fr
+        return {
+            "state": self.state,
+            "n_tracked": self.n_tracked,
+            "n_kfs": len(self.map.kf_ids()),
+            "n_points": len(self.map.active_point_ids()),
+        }
+
+    # -- initialization -------------------------------------------------
+
+    def _try_initialize(self, fr: FrameRecord):
+        if self.ref_frame is None or fr.timestamp - self.ref_frame.timestamp > 1.0:
+            if fr.valid.sum() > 100:
+                self.ref_frame = fr
+            return
+        ref = self.ref_frame
+        # wide-window matching ref <-> cur (reference SearchForInitialization)
+        d = hamming_matrix(ref.desc_pm1, fr.desc_pm1)
+        gate = valid_gate(jnp.asarray(ref.valid), jnp.asarray(fr.valid))
+        gate = gate & window_gate(
+            jnp.asarray(ref.xy), jnp.asarray(fr.xy), 100.0
+        )
+        res = match_with_mask(d, gate, max_dist=50.0, ratio=0.9, mutual=True)
+        rot_ok = rotation_consistency_mask(
+            jnp.asarray(ref.angle), jnp.asarray(fr.angle), res.idx
+        )
+        idx = np.asarray(jnp.where(rot_ok, res.idx, -1))
+        matched = np.nonzero(idx >= 0)[0]
+        if len(matched) < 100:
+            if fr.valid.sum() > 100:
+                self.ref_frame = fr
+            return
+        n = ref.xy.shape[0]
+        x1 = np.zeros((n, 2), np.float32)
+        x2 = np.zeros((n, 2), np.float32)
+        valid = np.zeros(n, bool)
+        x1[matched] = ref.xy[matched]
+        x2[matched] = fr.xy[idx[matched]]
+        valid[matched] = True
+        result = two_view_init(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+            self.cam, self._next_key(),
+        )
+        if not bool(result.success):
+            return
+        # build initial map (reference CreateInitialMapMonocular)
+        R2 = np.asarray(result.r_cw2)
+        t2 = np.asarray(result.t_cw2)
+        X = np.asarray(result.points)
+        inl = np.asarray(result.is_inlier)
+        med_depth = float(np.median(X[inl, 2]))
+        if med_depth <= 0:
+            return
+        scale = 1.0 / med_depth
+        X = X * scale
+        t2 = t2 * scale
+
+        ref.r_cw = np.eye(3, dtype=np.float32)
+        ref.t_cw = np.zeros(3, np.float32)
+        fr.r_cw, fr.t_cw = R2.astype(np.float32), t2.astype(np.float32)
+
+        kf0 = self._kf_from_frame(ref)
+        id0 = self.map.add_keyframe(kf0)
+        kf1 = self._kf_from_frame(fr)
+        id1 = self.map.add_keyframe(kf1)
+        for i in matched:
+            if not inl[i]:
+                continue
+            j = idx[i]
+            p = self.map.add_point(X[i], ref.desc01[i], id0, int(i))
+            self.map.add_observation(p, id1, int(j))
+            fr.point_idx[j] = p
+            ref.point_idx = ref.point_idx if ref.point_idx is not None else None
+        self.map.update_point_stats(self.map.active_point_ids())
+        # full BA on the initial two-KF map
+        self._local_ba([id0, id1], fixed=[id0])
+        kf1_ = self.map.keyframes[id1]
+        fr.r_cw, fr.t_cw = kf1_.r_cw.copy(), kf1_.t_cw.copy()
+        self.last_kf_id = id1
+        self.frames_since_kf = 0
+        self.velocity = None
+        self.state = "OK"
+        self.n_tracked = int(inl.sum())
+
+    def _kf_from_frame(self, fr: FrameRecord) -> KeyFrameData:
+        kf = KeyFrameData(
+            kf_id=-1,
+            timestamp=fr.timestamp,
+            r_cw=fr.r_cw.copy(),
+            t_cw=fr.t_cw.copy(),
+            xy=fr.xy.copy(),
+            level=fr.level.copy(),
+            angle=fr.angle.copy(),
+            desc01=fr.desc01.copy(),
+            valid=fr.valid.copy(),
+            point_idx=np.full(fr.xy.shape[0], -1, np.int32),
+        )
+        return kf
+
+    # -- tracking --------------------------------------------------------
+
+    def _predict_pose(self, fr: FrameRecord):
+        last = self.last_frame
+        if self.velocity is not None and last.r_cw is not None:
+            Rv, tv = self.velocity
+            fr.r_cw = normalize_np(Rv @ last.r_cw)
+            fr.t_cw = (Rv @ last.t_cw + tv).astype(np.float32)
+        else:
+            fr.r_cw = last.r_cw.copy()
+            fr.t_cw = last.t_cw.copy()
+
+    def _local_kf_ids(self) -> List[int]:
+        if self.last_kf_id < 0:
+            return []
+        cov = self.map.covisibility_weights(self.last_kf_id)
+        ids = sorted(cov, key=cov.get, reverse=True)[: self.local_window * 2]
+        return [self.last_kf_id] + ids
+
+    def _gather_local_points(self, kf_ids: List[int]):
+        pts = self.map.local_map_points(kf_ids)
+        cap = self.max_local_points
+        if len(pts) > cap:
+            pts = pts[:cap]
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 256), np.uint8)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        valid = np.zeros(cap, bool)
+        m = len(pts)
+        xyz[:m] = self.map.pt_xyz[pts]
+        desc[:m] = self.map.pt_desc01[pts]
+        normal[:m] = self.map.pt_normal[pts]
+        dmin[:m] = self.map.pt_min_dist[pts]
+        dmax[:m] = self.map.pt_max_dist[pts]
+        valid[:m] = True
+        return pts, xyz, desc, normal, dmin, dmax, valid
+
+    def _track(self, fr: FrameRecord):
+        self._predict_pose(fr)
+        kf_ids = self._local_kf_ids()
+        pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(kf_ids)
+        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
+            valid, jnp.bfloat16
+        )[:, None]
+
+        def run_match(radius):
+            return match_by_projection(
+                jnp.asarray(xyz),
+                desc_pm1,
+                jnp.asarray(valid),
+                jnp.asarray(normal),
+                jnp.asarray(dmin),
+                jnp.asarray(dmax),
+                jnp.asarray(fr.r_cw),
+                jnp.asarray(fr.t_cw),
+                jnp.asarray(fr.xy),
+                fr.desc_pm1,
+                jnp.asarray(fr.valid),
+                self.cam,
+                jnp.float32(radius),
+            )
+
+        point_for_feat, res, n, visible = run_match(15.0)
+        if int(n) < 20:
+            point_for_feat, res, n, visible = run_match(30.0)
+        pf = np.asarray(point_for_feat)
+        matched_feats = np.nonzero(pf >= 0)[0]
+        if len(matched_feats) < 10:
+            self.state = "LOST"
+            self.n_tracked = 0
+            return
+
+        # pose-only optimization over the matches
+        nf = fr.xy.shape[0]
+        obs_pts = np.zeros((nf, 3), np.float32)
+        obs_valid = np.zeros(nf, bool)
+        inv_s2 = np.ones(nf, np.float32)
+        obs_pts[matched_feats] = xyz[pf[matched_feats]]
+        obs_valid[matched_feats] = True
+        inv_s2[matched_feats] = 1.0 / self.sigma2[fr.level[matched_feats]]
+        obs = PoseObs(
+            points=jnp.asarray(obs_pts),
+            uv=jnp.asarray(fr.xy),
+            inv_sigma2=jnp.asarray(inv_s2),
+            valid=jnp.asarray(obs_valid),
+        )
+        R_opt, t_opt, inlier = pose_optimization_tcw(
+            jnp.asarray(fr.r_cw), jnp.asarray(fr.t_cw), obs, self.cam
+        )
+        fr.r_cw = np.asarray(R_opt)
+        fr.t_cw = np.asarray(t_opt)
+        inl = np.asarray(inlier)
+        self.n_tracked = int(inl.sum())
+        if self.n_tracked < 10:
+            self.state = "LOST"
+            return
+        self.state = "OK"
+
+        # record matches on the frame; update found/visible counters
+        fr.point_idx = np.full(nf, -1, np.int32)
+        ok_feats = np.nonzero((pf >= 0) & inl)[0]
+        fr.point_idx[ok_feats] = pts[pf[ok_feats]]
+        if len(pts):
+            vis = np.asarray(visible)[: len(pts)]
+            self.map.pt_visible[pts[vis]] += 1
+            self.map.pt_found[fr.point_idx[ok_feats]] += 1
+
+        # velocity model update
+        last = self.last_frame
+        if last.r_cw is not None:
+            Rl_inv = last.r_cw.T
+            tl_inv = -Rl_inv @ last.t_cw
+            self.velocity = (
+                normalize_np(fr.r_cw @ Rl_inv),
+                fr.r_cw @ tl_inv + fr.t_cw,
+            )
+
+        # keyframe decision (simplified NeedNewKeyFrame,
+        # reference src/Tracking.cc:1711-1814)
+        self.frames_since_kf += 1
+        ref_kf = self.map.keyframes[self.last_kf_id]
+        ref_tracked = int((ref_kf.point_idx >= 0).sum())
+        need = (
+            self.frames_since_kf >= self.kf_max_interval
+            or self.n_tracked < 0.6 * max(ref_tracked, 1)
+        ) and self.n_tracked > 15
+        if need:
+            self._insert_keyframe(fr)
+            self.frames_since_kf = 0
+
+    # -- mapping step ----------------------------------------------------
+
+    def _insert_keyframe(self, fr: FrameRecord):
+        kf = self._kf_from_frame(fr)
+        kf_id = self.map.add_keyframe(kf)
+        # register tracked points
+        for f in np.nonzero(fr.point_idx >= 0)[0]:
+            self.map.add_observation(int(fr.point_idx[f]), kf_id, int(f))
+        # triangulate new points against best covisible neighbors
+        cov = self.map.covisibility_weights(kf_id)
+        neighbors = sorted(cov, key=cov.get, reverse=True)[:3]
+        for nb in neighbors:
+            self._triangulate_with(kf_id, nb)
+        self.map.update_point_stats(self.map.local_map_points([kf_id]))
+        # local BA over the covisibility window
+        window = [kf_id] + sorted(cov, key=cov.get, reverse=True)[
+            : self.local_window - 1
+        ]
+        # fixed anchors: KFs observing window points but outside window
+        anchor = set()
+        for p in self.map.local_map_points(window):
+            for k in self.map.obs_kf[p]:
+                if k >= 0 and int(k) not in window:
+                    anchor.add(int(k))
+        fixed = sorted(anchor)[:8]
+        if len(self.map.kf_ids()) <= 2:
+            fixed = [min(self.map.kf_ids())]
+        self._local_ba(window, fixed)
+        self._cull_points(kf_id)
+        self.last_kf_id = kf_id
+        kf_ = self.map.keyframes[kf_id]
+        fr.r_cw, fr.t_cw = kf_.r_cw.copy(), kf_.t_cw.copy()
+
+    def _triangulate_with(self, kf_id: int, nb_id: int):
+        kf = self.map.keyframes[kf_id]
+        nb = self.map.keyframes[nb_id]
+        # baseline check vs median scene depth (reference CreateNewMapPoints)
+        baseline = np.linalg.norm(kf.center() - nb.center())
+        pts_nb = nb.point_idx[nb.point_idx >= 0]
+        if len(pts_nb) > 0:
+            depths = (self.map.pt_xyz[pts_nb] @ nb.r_cw.T + nb.t_cw)[:, 2]
+            med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
+            if baseline / max(med, 1e-6) < 0.01:
+                return
+        free1 = kf.valid & (kf.point_idx < 0)
+        free2 = nb.valid & (nb.point_idx < 0)
+        if free1.sum() == 0 or free2.sum() == 0:
+            return
+        F12 = fundamental_from_poses(
+            jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw),
+            jnp.asarray(nb.r_cw), jnp.asarray(nb.t_cw), self.cam.K,
+        )
+        d1 = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
+        d2 = (jnp.asarray(nb.desc01, jnp.bfloat16) * 2 - 1)
+        res = match_for_triangulation(
+            jnp.asarray(kf.xy), d1, jnp.asarray(free1),
+            jnp.asarray(nb.xy), d2, jnp.asarray(free2), F12,
+        )
+        idx = np.asarray(res.idx)
+        m1 = np.nonzero(idx >= 0)[0]
+        if len(m1) == 0:
+            return
+        m2 = idx[m1]
+        P1 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw)))
+        P2 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(nb.r_cw), jnp.asarray(nb.t_cw)))
+        X = np.asarray(
+            triangulate_two_view(
+                jnp.broadcast_to(jnp.asarray(P1), (len(m1), 3, 4)),
+                jnp.broadcast_to(jnp.asarray(P2), (len(m1), 3, 4)),
+                jnp.asarray(kf.xy[m1]),
+                jnp.asarray(nb.xy[m2]),
+            )
+        )
+        # checks: depth, reprojection, parallax
+        pc1 = X @ kf.r_cw.T + kf.t_cw
+        pc2 = X @ nb.r_cw.T + nb.t_cw
+        z1, z2 = pc1[:, 2], pc2[:, 2]
+        uv1 = self._project_np(pc1)
+        uv2 = self._project_np(pc2)
+        e1 = ((uv1 - kf.xy[m1]) ** 2).sum(1)
+        e2 = ((uv2 - nb.xy[m2]) ** 2).sum(1)
+        th1 = 5.991 * self.sigma2[kf.level[m1]]
+        th2 = 5.991 * self.sigma2[nb.level[m2]]
+        ray1 = X - kf.center()
+        ray2 = X - nb.center()
+        cosp = (ray1 * ray2).sum(1) / np.maximum(
+            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1), 1e-12
+        )
+        good = (z1 > 0.05) & (z2 > 0.05) & (e1 < th1) & (e2 < th2) & (cosp < 0.9998)
+        for i, f1, f2 in zip(np.nonzero(good)[0], m1[good], m2[good]):
+            p = self.map.add_point(X[i], kf.desc01[f1], kf_id, int(f1))
+            self.map.add_observation(p, nb_id, int(f2))
+
+    def _project_np(self, pc):
+        z = np.maximum(pc[:, 2:3], 1e-6)
+        xn = pc[:, :2] / z
+        return np.stack(
+            [
+                self.cam.fx * xn[:, 0] + self.cam.cx,
+                self.cam.fy * xn[:, 1] + self.cam.cy,
+            ],
+            1,
+        )
+
+    def _local_ba(self, window: List[int], fixed: List[int]):
+        kf_list, pt_ids, kf_idx, uv, inv_s2, valid = self.map.build_ba_problem(
+            window, fixed, self.max_ba_landmarks
+        )
+        if len(pt_ids) == 0:
+            return
+        k = len(kf_list)
+        r_cw = np.stack([self.map.keyframes[i].r_cw for i in kf_list])
+        t_cw = np.stack([self.map.keyframes[i].t_cw for i in kf_list])
+        points = np.zeros((self.max_ba_landmarks, 3), np.float32)
+        points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
+        fixed_mask = np.array([i in fixed for i in kf_list])
+        state = VisionBAState(
+            jnp.asarray(r_cw), jnp.asarray(t_cw), jnp.asarray(points)
+        )
+        obs = BAObservations(
+            kf_idx=jnp.asarray(kf_idx),
+            uv=jnp.asarray(uv),
+            inv_sigma2=jnp.asarray(inv_s2),
+            valid=jnp.asarray(valid),
+        )
+        out, obs2 = vision_ba_two_phase(
+            state, obs, self.cam, jnp.asarray(fixed_mask)
+        )
+        # write back
+        r_new = np.asarray(out.r_cw)
+        t_new = np.asarray(out.t_cw)
+        p_new = np.asarray(out.points)
+        for s, i in enumerate(kf_list):
+            if not fixed_mask[s]:
+                self.map.keyframes[i].r_cw = r_new[s]
+                self.map.keyframes[i].t_cw = t_new[s]
+        self.map.pt_xyz[pt_ids] = p_new[: len(pt_ids)]
+        # remove observations BA marked as outliers
+        was_valid = valid
+        now_valid = np.asarray(obs2.valid)
+        dropped = was_valid & ~now_valid
+        for row in np.nonzero(dropped.any(axis=1))[0]:
+            p = int(pt_ids[row])
+            for s in np.nonzero(dropped[row])[0]:
+                self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+
+    def _cull_points(self, kf_id: int):
+        """Light MapPointCulling (reference src/LocalMapping.cc:1198):
+        drop points whose found/visible ratio is low."""
+        pts = self.map.active_point_ids()
+        if len(pts) == 0:
+            return
+        vis = self.map.pt_visible[pts]
+        fnd = self.map.pt_found[pts]
+        bad = (vis > 4) & (fnd / np.maximum(vis, 1) < 0.25)
+        for p in pts[bad]:
+            self.map.remove_point(int(p))
+
+    # -- output ----------------------------------------------------------
+
+    def trajectory_tum(self) -> np.ndarray:
+        """(T,8): t, tx ty tz, qx qy qz qw (camera-to-world) — the
+        reference's TUM trajectory export (src/System.cc SaveTrajectoryTUM)."""
+        from viorb_tpu.geometry.so3 import matrix_to_quat
+        import jax.numpy as jnp_
+
+        rows = []
+        for ts, r_cw, t_cw in self.trajectory:
+            r_wc = r_cw.T
+            c = -r_wc @ t_cw
+            q = np.asarray(matrix_to_quat(jnp_.asarray(r_wc)))  # (w,x,y,z)
+            rows.append([ts, c[0], c[1], c[2], q[1], q[2], q[3], q[0]])
+        return np.array(rows, np.float64)
+
+
+def normalize_np(R: np.ndarray) -> np.ndarray:
+    return np.asarray(normalize_rotation(jnp.asarray(R))).astype(np.float32)
