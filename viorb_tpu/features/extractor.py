@@ -20,11 +20,12 @@ import numpy as np
 from viorb_tpu.features.fast import fast_score_map, grid_topk_keypoints
 from viorb_tpu.features.orb import (
     EDGE_MARGIN,
-    compute_descriptors,
-    ic_angles,
-    moment_maps,
+    blur_patches,
+    extract_patches,
+    patch_descriptors,
+    patch_moments,
 )
-from viorb_tpu.features.pyramid import build_pyramid, gaussian_blur, level_shapes
+from viorb_tpu.features.pyramid import build_pyramid, level_shapes
 
 
 class FrameFeatures(NamedTuple):
@@ -106,10 +107,9 @@ class OrbExtractor:
                 min_score=self.fast_min_threshold,
                 border=EDGE_MARGIN,
             )
-            m10, m01 = moment_maps(img)
-            ang = ic_angles(m10, m01, ys, xs)
-            blurred = gaussian_blur(img)
-            desc = compute_descriptors(blurred, ys, xs, ang)
+            patches = extract_patches(img, ys, xs)
+            ang = patch_moments(patches)
+            desc = patch_descriptors(blur_patches(patches), ang)
             s = self.scales[l]
             out_xy.append(
                 jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)

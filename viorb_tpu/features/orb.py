@@ -57,16 +57,91 @@ def _circular_moment_kernels() -> tuple[np.ndarray, np.ndarray]:
 _KX, _KY = _circular_moment_kernels()
 
 
-def moment_maps(image: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(H,W) -> (m10, m01) maps: per-pixel patch moments via conv.
+# Patch geometry: HALF_PATCH=15 for moments; the rotated test pattern
+# reaches radius 13*sqrt(2) ~= 18.4, so a 45x45 patch (half 22) keeps all
+# samples inside (and leaves >=3px of valid blur context).
+PATCH_HALF = 22
+PATCH_SIZE = 2 * PATCH_HALF + 1  # 45
 
-    Conv kernels are correlation-style: m10(p) = sum_{dx,dy} dx * I(p+d).
+
+def extract_patches(image: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Gather (K, 45, 45) patches centered at integer keypoints.
+
+    TPU note: whole-image moment convs + arbitrary 2D gathers are ~1.5 s
+    per frame on v5e; per-keypoint dynamic-slice patches make the
+    orientation+descriptor stage K*patch-sized instead of image-sized.
     """
+    padded = jnp.pad(image, PATCH_HALF, mode="edge")
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (PATCH_SIZE, PATCH_SIZE))
+
+    return jax.vmap(one)(ys, xs)
+
+
+def patch_moments(patches: jax.Array) -> jax.Array:
+    """IC angle from 31x31 circular moments at the patch center
+    (reference IC_Angle, src/ORBextractor.cc:77). patches: (K,45,45)."""
+    r = HALF_PATCH
+    c = PATCH_HALF
+    center = patches[:, c - r : c + r + 1, c - r : c + r + 1]  # (K,31,31)
+    kx = jnp.asarray(_KX)
+    ky = jnp.asarray(_KY)
+    m10 = jnp.einsum("kij,ij->k", center, kx)
+    m01 = jnp.einsum("kij,ij->k", center, ky)
+    return jnp.arctan2(m01, m10)
+
+
+def patch_descriptors(patches: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotated 256-pair tests sampled from (K,45,45) patches by flat
+    take_along_axis gather; returns (K,256) uint8 {0,1}. Nearest-neighbour
+    rotation like the reference's cvRound GET_VALUE
+    (src/ORBextractor.cc:108-148)."""
+    k = patches.shape[0]
+    pat = jnp.asarray(TEST_PATTERN, jnp.float32)  # (256,2,2) (dx,dy)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    dx = pat[..., 0].reshape(-1)  # (512,)
+    dy = pat[..., 1].reshape(-1)
+    rx = jnp.round(ca[:, None] * dx[None] - sa[:, None] * dy[None]).astype(jnp.int32)
+    ry = jnp.round(sa[:, None] * dx[None] + ca[:, None] * dy[None]).astype(jnp.int32)
+    px = jnp.clip(PATCH_HALF + rx, 0, PATCH_SIZE - 1)
+    py = jnp.clip(PATCH_HALF + ry, 0, PATCH_SIZE - 1)
+    flat_idx = py * PATCH_SIZE + px  # (K,512)
+    flat = patches.reshape(k, -1)
+    vals = jnp.take_along_axis(flat, flat_idx, axis=1)  # (K,512)
+    a = vals[:, 0::2]
+    b = vals[:, 1::2]
+    return (a < b).astype(jnp.uint8)
+
+
+def blur_patches(patches: jax.Array, size: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Separable Gaussian blur over the patch batch (valid region covers
+    all descriptor samples; replaces full-image blur)."""
+    from viorb_tpu.features.pyramid import _gaussian_kernel1d
+
+    kern = jnp.asarray(_gaussian_kernel1d(size, sigma))
+    pad = size // 2
+    # conv along rows then cols with edge padding, batched over K
+    p = jnp.pad(patches, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    p = jax.lax.conv_general_dilated(
+        p[:, None], kern[None, None, :, None], (1, 1), "VALID"
+    )[:, 0]
+    p = jnp.pad(p, ((0, 0), (0, 0), (pad, pad)), mode="edge")
+    p = jax.lax.conv_general_dilated(
+        p[:, None], kern[None, None, None, :], (1, 1), "VALID"
+    )[:, 0]
+    return p
+
+
+# --- legacy whole-image API (kept for tests/compat; slow on TPU) ---------
+
+
+def moment_maps(image: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(H,W) -> (m10, m01) maps via conv (whole-image; prefer
+    patch_moments on TPU)."""
     img = image[None, None]
     kx = jnp.asarray(_KX)[None, None]
     ky = jnp.asarray(_KY)[None, None]
-    # lax conv is correlation when kernel not flipped: use conv_general_dilated
-    # with default dimension numbers (OIHW), which computes correlation.
     m10 = jax.lax.conv_general_dilated(img, kx, (1, 1), "SAME")[0, 0]
     m01 = jax.lax.conv_general_dilated(img, ky, (1, 1), "SAME")[0, 0]
     return m10, m01
@@ -83,17 +158,12 @@ def compute_descriptors(
     xs: jax.Array,
     angles: jax.Array,
 ) -> jax.Array:
-    """Sample rotated test pattern; returns (K, 256) uint8 in {0,1}.
-
-    Nearest-neighbour sampling of the rotated offsets, like the reference's
-    cvRound-based GET_VALUE (src/ORBextractor.cc:108-148).
-    """
+    """Whole-image descriptor sampling (prefer patch_descriptors on TPU)."""
     h, w = blurred.shape
     pat = jnp.asarray(TEST_PATTERN, jnp.float32)  # (256,2,2) (dx,dy)
     ca, sa = jnp.cos(angles), jnp.sin(angles)  # (K,)
     dx = pat[..., 0]  # (256,2)
     dy = pat[..., 1]
-    # rotated offsets per keypoint: (K,256,2)
     rx = jnp.round(ca[:, None, None] * dx[None] - sa[:, None, None] * dy[None])
     ry = jnp.round(sa[:, None, None] * dx[None] + ca[:, None, None] * dy[None])
     px = jnp.clip(xs[:, None, None] + rx.astype(jnp.int32), 0, w - 1)

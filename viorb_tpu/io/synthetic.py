@@ -31,17 +31,31 @@ class Plane(NamedTuple):
         return n / np.linalg.norm(n)
 
 
+def _box_blur(x: np.ndarray, k: int) -> np.ndarray:
+    c = np.cumsum(np.cumsum(np.pad(x, ((k, 0), (k, 0))), 0), 1)
+    return (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]) / (k * k)
+
+
 def _make_texture(rng, size=512, octaves=4) -> np.ndarray:
-    """Multi-octave random texture with plenty of corners."""
-    tex = np.zeros((size, size), np.float32)
-    for o in range(octaves):
-        s = 8 * (2**o)
-        layer = rng.uniform(0, 1, size=(s, s)).astype(np.float32)
-        reps = size // s
-        tex += np.kron(layer, np.ones((reps, reps), np.float32)) * (0.6**o)
-    tex -= tex.min()
-    tex *= 255.0 / max(tex.max(), 1e-6)
-    return tex
+    """APERIODIC random texture with sharp corners.
+
+    (An earlier kron-upsampled texture repeated every 8 px, which made
+    window-gated matching lock onto an 8 px-shifted lattice whenever the
+    motion prediction erred by half a period — diverging consistently.)
+    Sharp, non-repeating edges come from level-set crossings of two
+    independent smooth random fields; a fine noise layer adds texture.
+    """
+    t1 = _box_blur(rng.uniform(0, 1, (size, size)), 13)
+    t2 = _box_blur(rng.uniform(0, 1, (size, size)), 29)
+    t3 = _box_blur(rng.uniform(0, 1, (size, size)), 7)
+    t4 = _box_blur(rng.uniform(0, 1, (size, size)), 19)
+    tex = (
+        40.0
+        + 130.0 * (t1 > t2).astype(np.float32)
+        + 60.0 * (t3 > t4).astype(np.float32)
+        + 25.0 * _box_blur(rng.uniform(0, 1, (size, size)), 3)
+    )
+    return tex.astype(np.float32)
 
 
 def default_room(seed: int = 0) -> List[Plane]:
@@ -65,29 +79,124 @@ def default_room(seed: int = 0) -> List[Plane]:
     return planes
 
 
-def render_frame(
-    cam: PinholeCamera,
-    r_wc: np.ndarray,  # (3,3) camera->world rotation
-    c_w: np.ndarray,  # (3,) camera center in world
-    planes: List[Plane],
-) -> np.ndarray:
-    """Render (H,W) f32 image by ray casting."""
+def _render_frame_jax(cam: PinholeCamera, r_wc, c_w, plane_arrays):
+    """Jittable single-frame ray-cast renderer. plane_arrays: stacked plane
+    params + textures (P,...)."""
+    import jax
+    import jax.numpy as jnp
+
+    origins, ax_u, ax_v, sizes, textures = plane_arrays
     h, w = cam.height, cam.width
-    us, vs = np.meshgrid(np.arange(w), np.arange(h))
-    d_cam = np.stack(
-        [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us, np.float32)],
+    us = jnp.arange(w, dtype=jnp.float32)[None, :]
+    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
+    d_cam = jnp.stack(
+        [
+            jnp.broadcast_to((us - cam.cx) / cam.fx, (h, w)),
+            jnp.broadcast_to((vs - cam.cy) / cam.fy, (h, w)),
+            jnp.ones((h, w), jnp.float32),
+        ],
         axis=-1,
-    ).astype(np.float32)
+    )
     d_w = d_cam @ r_wc.T  # (H,W,3)
 
-    img = np.full((h, w), 127.0, np.float32)
-    best_t = np.full((h, w), np.inf, np.float32)
+    def one_plane(origin, au, av, size, tex):
+        n = jnp.cross(au, av)
+        n = n / jnp.linalg.norm(n)
+        denom = d_w @ n
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        t = jnp.dot(origin - c_w, n) / denom
+        hit = c_w + t[..., None] * d_w
+        rel = hit - origin
+        u = rel @ au
+        v = rel @ av
+        ok = (t > 0.05) & (jnp.abs(u) < size[0] / 2) & (jnp.abs(v) < size[1] / 2)
+        ht, wt = tex.shape
+        tu = jnp.clip((u / size[0] + 0.5) * (wt - 1), 0, wt - 1.001)
+        tv = jnp.clip((v / size[1] + 0.5) * (ht - 1), 0, ht - 1.001)
+        x0 = tu.astype(jnp.int32)
+        y0 = tv.astype(jnp.int32)
+        fx_ = tu - x0
+        fy_ = tv - y0
+        val = (
+            tex[y0, x0] * (1 - fx_) * (1 - fy_)
+            + tex[y0, x0 + 1] * fx_ * (1 - fy_)
+            + tex[y0 + 1, x0] * (1 - fx_) * fy_
+            + tex[y0 + 1, x0 + 1] * fx_ * fy_
+        )
+        return jnp.where(ok, val, jnp.nan), jnp.where(ok, t, jnp.inf)
+
+    vals, ts = jax.vmap(one_plane)(origins, ax_u, ax_v, sizes, textures)
+    best = jnp.argmin(ts, axis=0)
+    img = jnp.take_along_axis(vals, best[None], axis=0)[0]
+    return jnp.nan_to_num(img, nan=127.0)
+
+
+def _stack_planes(planes: List[Plane]):
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(np.stack([p.origin for p in planes]).astype(np.float32)),
+        jnp.asarray(np.stack([p.ax_u for p in planes]).astype(np.float32)),
+        jnp.asarray(np.stack([p.ax_v for p in planes]).astype(np.float32)),
+        jnp.asarray(
+            np.stack([[p.size_u, p.size_v] for p in planes]).astype(np.float32)
+        ),
+        jnp.asarray(np.stack([p.texture for p in planes])),
+    )
+
+
+def render_frame(
+    cam: PinholeCamera,
+    r_wc: np.ndarray,
+    c_w: np.ndarray,
+    planes: List[Plane],
+) -> np.ndarray:
+    """Render (H,W) f32 image by ray casting (jitted; cached per camera)."""
+    arrays = _stack_planes(planes)
+    fn = _get_render_fn(cam)
+    return np.asarray(
+        fn(np.asarray(r_wc, np.float32), np.asarray(c_w, np.float32), arrays)
+    )
+
+
+_RENDER_CACHE = {}
+
+
+def _get_render_fn(cam: PinholeCamera):
+    import jax
+
+    key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy)
+    if key not in _RENDER_CACHE:
+        _RENDER_CACHE[key] = jax.jit(
+            lambda r, c, arrays: _render_frame_jax(cam, r, c, arrays)
+        )
+    return _RENDER_CACHE[key]
+
+
+def depth_at(
+    cam: PinholeCamera,
+    r_wc: np.ndarray,
+    c_w: np.ndarray,
+    planes: List[Plane],
+    uv: np.ndarray,  # (N,2) pixels
+) -> np.ndarray:
+    """Ground-truth depth (camera z) at given pixels; inf where no hit."""
+    d_cam = np.stack(
+        [
+            (uv[:, 0] - cam.cx) / cam.fx,
+            (uv[:, 1] - cam.cy) / cam.fy,
+            np.ones(len(uv), np.float32),
+        ],
+        axis=-1,
+    )
+    d_w = d_cam @ r_wc.T
+    best_t = np.full(len(uv), np.inf, np.float32)
     for pl in planes:
         n = pl.normal
         denom = d_w @ n
         denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
         t = ((pl.origin - c_w) @ n) / denom
-        hit = c_w + t[..., None] * d_w
+        hit = c_w + t[:, None] * d_w
         rel = hit - pl.origin
         u = rel @ pl.ax_u
         v = rel @ pl.ax_v
@@ -97,25 +206,8 @@ def render_frame(
             & (np.abs(u) < pl.size_u / 2)
             & (np.abs(v) < pl.size_v / 2)
         )
-        ht, wt = pl.texture.shape
-        tu = (u / pl.size_u + 0.5) * (wt - 1)
-        tv = (v / pl.size_v + 0.5) * (ht - 1)
-        tu = np.clip(tu, 0, wt - 1.001)
-        tv = np.clip(tv, 0, ht - 1.001)
-        x0 = tu.astype(np.int32)
-        y0 = tv.astype(np.int32)
-        fx_ = tu - x0
-        fy_ = tv - y0
-        tex = pl.texture
-        val = (
-            tex[y0, x0] * (1 - fx_) * (1 - fy_)
-            + tex[y0, x0 + 1] * fx_ * (1 - fy_)
-            + tex[y0 + 1, x0] * (1 - fx_) * fy_
-            + tex[y0 + 1, x0 + 1] * fx_ * fy_
-        )
-        img = np.where(ok, val, img)
         best_t = np.where(ok, t, best_t)
-    return img
+    return best_t  # note: t is distance along unit-z-normalized ray = depth
 
 
 class SyntheticSequence(NamedTuple):
@@ -126,14 +218,21 @@ class SyntheticSequence(NamedTuple):
     cam: PinholeCamera
 
 
+def _rodrigues_np(w: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(w)
+    if th < 1e-10:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
 def make_trajectory(
     n_frames: int, dt: float = 0.05, kind: str = "arc"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (r_wc (T,3,3), c_w (T,3)): smooth sideways arc with slight
-    yaw, good parallax against the room walls."""
-    from viorb_tpu.geometry.so3 import exp_so3
-    import jax.numpy as jnp
-
+    yaw, good parallax against the room walls. Pure numpy (no device
+    roundtrips — the TPU tunnel makes per-call syncs expensive)."""
     ts = np.arange(n_frames) * dt
     cs = np.stack(
         [
@@ -145,10 +244,7 @@ def make_trajectory(
     ).astype(np.float32)
     yaw = 0.15 * np.sin(0.7 * ts)
     pitch = 0.06 * np.sin(0.5 * ts + 0.2)
-    rs = []
-    for y, p in zip(yaw, pitch):
-        R = np.asarray(exp_so3(jnp.asarray([p, y, 0.0], jnp.float32)))
-        rs.append(R)
+    rs = [_rodrigues_np(np.array([p, y, 0.0])) for y, p in zip(yaw, pitch)]
     return np.stack(rs).astype(np.float32), cs
 
 
@@ -157,13 +253,46 @@ def make_sequence(
     cam: PinholeCamera | None = None,
     seed: int = 0,
     dt: float = 0.05,
+    cache_dir: str = "/tmp/viorb_tpu_synth",
 ) -> SyntheticSequence:
+    """Rendered sequence with disk caching (rendering is jitted and batched;
+    a cached 60-frame 752x480 sequence loads in <1s)."""
+    import os
+
     cam = cam or PinholeCamera(
         fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
     )
-    planes = default_room(seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"seq_v2_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}"
+    path = os.path.join(cache_dir, tag + ".npz")
     r_wc, c_w = make_trajectory(n_frames, dt)
-    images = [render_frame(cam, r_wc[i], c_w[i], planes) for i in range(n_frames)]
+    if os.path.exists(path):
+        stack = np.load(path)["images"]  # decompress ONCE
+        images = [stack[i] for i in range(n_frames)]
+    else:
+        import jax
+
+        # Render on the LOCAL CPU backend: rendering is test/bench
+        # scaffolding, and the remote-TPU tunnel makes gather-heavy
+        # kernels + per-chunk syncs pathologically slow.
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            planes = default_room(seed)
+            arrays = _stack_planes(planes)
+            fn = _get_render_fn(cam)
+            batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
+            chunk = 10
+            outs = []
+            for s in range(0, n_frames, chunk):
+                e = min(s + chunk, n_frames)
+                # pad the last chunk to keep one compiled shape
+                idx = list(range(s, e)) + [e - 1] * (chunk - (e - s))
+                out = batched(
+                    np.asarray(r_wc[idx]), np.asarray(c_w[idx]), arrays
+                )
+                outs.append(np.asarray(out)[: e - s])
+        images = [im for o in outs for im in o]
+        np.savez_compressed(path, images=np.stack(images))
     return SyntheticSequence(
         images=images,
         r_wc=r_wc,

@@ -1,0 +1,111 @@
+"""Device-resident tracking loop: the whole per-frame tracking path as ONE
+jitted step with carried state — zero host synchronization per frame.
+
+This is the TPU-shaped version of the reference's tracking thread main
+loop in localization mode (reference: Tracking with
+mbOnlyTracking/ActivateLocalizationMode, src/Tracking.cc:908-1010): the
+map is frozen (device arrays), per-frame work is extract -> predict ->
+project-match -> pose LM, and the pose/velocity state is carried on
+device. Frames can be streamed (async dispatch per frame, ~ms) or scanned
+(a whole clip in one XLA program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from viorb_tpu.features.extractor import OrbExtractor
+from viorb_tpu.geometry.camera import PinholeCamera, undistort_points
+from viorb_tpu.optim.pose_only import PoseObs, pose_optimization_tcw
+from viorb_tpu.slam.kernels import match_by_projection
+
+
+class DeviceMap(NamedTuple):
+    """Frozen localization map resident on device."""
+
+    xyz: jax.Array  # (M,3)
+    desc_pm1: jax.Array  # (M,256) bf16
+    valid: jax.Array  # (M,)
+    normal: jax.Array  # (M,3)
+    dmin: jax.Array  # (M,)
+    dmax: jax.Array  # (M,)
+
+
+class TrackCarry(NamedTuple):
+    r_cw: jax.Array
+    t_cw: jax.Array
+    vel_r: jax.Array  # relative motion (constant-velocity model)
+    vel_t: jax.Array
+
+
+class TrackOut(NamedTuple):
+    r_cw: jax.Array
+    t_cw: jax.Array
+    n_inliers: jax.Array
+
+
+def make_tracking_step(cam: PinholeCamera, extractor: OrbExtractor):
+    """Returns step(carry, image, dmap) -> (carry, TrackOut), jitted."""
+
+    def step(carry: TrackCarry, image: jax.Array, dmap: DeviceMap):
+        # constant-velocity prediction
+        r_pred = carry.vel_r @ carry.r_cw
+        t_pred = (carry.vel_r @ carry.t_cw) + carry.vel_t
+
+        feats = extractor._extract(image)
+        xy = undistort_points(cam, feats.xy)
+        desc = feats.descriptors_pm1()
+
+        point_for_feat, res, n, _ = match_by_projection(
+            dmap.xyz, dmap.desc_pm1, dmap.valid, dmap.normal, dmap.dmin,
+            dmap.dmax, r_pred, t_pred, xy, desc, feats.valid, cam,
+            jnp.float32(15.0),
+        )
+        matched = point_for_feat >= 0
+        sigma2 = jnp.asarray(extractor.level_sigma2())[feats.level]
+        obs = PoseObs(
+            points=dmap.xyz[jnp.clip(point_for_feat, 0)],
+            uv=xy,
+            inv_sigma2=1.0 / sigma2,
+            valid=matched,
+        )
+        r_new, t_new, inlier = pose_optimization_tcw(
+            r_pred, t_pred, obs, cam, rounds=2, iters_per_round=4
+        )
+        # velocity update: T_new * T_old^{-1}
+        r_old_inv = carry.r_cw.T
+        vel_r = r_new @ r_old_inv
+        vel_t = t_new - (vel_r @ carry.t_cw)
+        new_carry = TrackCarry(r_new, t_new, vel_r, vel_t)
+        return new_carry, TrackOut(r_new, t_new, jnp.sum(inlier))
+
+    return jax.jit(step)
+
+
+def make_tracking_scan(cam: PinholeCamera, extractor: OrbExtractor):
+    """Whole-clip variant: scan the step over a stacked (T,H,W) image
+    batch inside one XLA program."""
+    step = make_tracking_step(cam, extractor)
+
+    @jax.jit
+    def run(carry: TrackCarry, images: jax.Array, dmap: DeviceMap):
+        def body(c, img):
+            c, out = step(c, img, dmap)
+            return c, out
+
+        return jax.lax.scan(body, carry, images)
+
+    return run
+
+
+def identity_carry() -> TrackCarry:
+    return TrackCarry(
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32),
+    )
