@@ -1,0 +1,79 @@
+"""VI initialization tests on analytic trajectories: gyro bias recovery,
+scale/gravity/accel-bias estimation, velocity solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viorb_tpu.imu import ImuBatch, ImuNoise
+from viorb_tpu.io.synthetic import GRAVITY_W, make_imu, make_trajectory
+from viorb_tpu.slam.vi_init import try_vi_init
+
+
+def build_chain(n_kf=12, frame_dt=0.25, bias_g=None, bias_a=None, noise_g=0.0,
+                noise_a=0.0, scale=2.5, cap=128):
+    """Keyframe chain with unscaled 'vision' poses + per-gap IMU batches."""
+    imu = make_imu(
+        n_kf, frame_dt, hz=200.0, bias_g=bias_g, bias_a=bias_a,
+        noise_g=noise_g, noise_a=noise_a,
+    )
+    r_wc, c_w = make_trajectory(n_kf, frame_dt)
+    ts = np.arange(n_kf) * frame_dt
+    p_c = c_w / scale  # mono map is scale-ambiguous: vision sees c/s
+    batches = []
+    for i in range(n_kf - 1):
+        sel = (imu.t >= ts[i]) & (imu.t < ts[i + 1])
+        batches.append(
+            ImuBatch.from_arrays(imu.gyro[sel], imu.acc[sel], imu.t[sel], capacity=cap)
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    return p_c, r_wc, ts, stacked, imu
+
+
+def test_vi_init_clean():
+    scale = 2.5
+    p_c, r_wc, ts, batches, imu = build_chain(scale=scale)
+    res = try_vi_init(p_c, r_wc, ts, batches)
+    assert res is not None and res.success
+    assert abs(res.scale - scale) / scale < 0.02, res.scale
+    np.testing.assert_allclose(res.gravity_w, GRAVITY_W, atol=0.15)
+    np.testing.assert_allclose(res.bias_g, 0.0, atol=5e-3)
+    np.testing.assert_allclose(res.bias_a, 0.0, atol=0.15)
+
+
+def test_vi_init_with_biases():
+    bg = np.array([0.02, -0.015, 0.03])
+    ba = np.array([0.15, -0.1, 0.2])
+    scale = 1.8
+    p_c, r_wc, ts, batches, imu = build_chain(
+        bias_g=bg, bias_a=ba, scale=scale, n_kf=16
+    )
+    res = try_vi_init(p_c, r_wc, ts, batches)
+    assert res is not None and res.success
+    np.testing.assert_allclose(res.bias_g, bg, atol=5e-3)
+    assert abs(res.scale - scale) / scale < 0.05, res.scale
+    np.testing.assert_allclose(res.gravity_w, GRAVITY_W, atol=0.3)
+    # accel bias is weakly observable on short windows; direction-level check
+    np.testing.assert_allclose(res.bias_a, ba, atol=0.3)
+
+
+def test_vi_init_velocities_match_gt():
+    scale = 2.0
+    p_c, r_wc, ts, batches, imu = build_chain(scale=scale, n_kf=12)
+    res = try_vi_init(p_c, r_wc, ts, batches)
+    assert res is not None
+    # ground-truth velocities at KF times
+    idx = [int(np.argmin(np.abs(imu.t - t))) for t in ts]
+    v_gt = imu.velocity[idx]
+    np.testing.assert_allclose(res.velocities, v_gt, atol=0.12)
+
+
+def test_vi_init_with_noise():
+    p_c, r_wc, ts, batches, imu = build_chain(
+        noise_g=2e-3, noise_a=8e-3, scale=3.0, n_kf=16
+    )
+    res = try_vi_init(p_c, r_wc, ts, batches)
+    assert res is not None and res.success
+    assert abs(res.scale - 3.0) / 3.0 < 0.05
+    np.testing.assert_allclose(res.gravity_w, GRAVITY_W, atol=0.3)

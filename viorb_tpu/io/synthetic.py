@@ -218,6 +218,90 @@ class SyntheticSequence(NamedTuple):
     cam: PinholeCamera
 
 
+GRAVITY_W = np.array([0.0, 0.0, -9.81], np.float32)
+
+
+class SyntheticImu(NamedTuple):
+    """Dense IMU stream for a trajectory (body frame = camera frame)."""
+
+    t: np.ndarray  # (S,)
+    gyro: np.ndarray  # (S,3) rad/s, body frame
+    acc: np.ndarray  # (S,3) m/s^2 specific force (includes -g)
+    velocity: np.ndarray  # (S,3) ground-truth world velocity at samples
+
+
+def make_imu(
+    n_frames: int,
+    frame_dt: float,
+    hz: float = 200.0,
+    bias_g: np.ndarray | None = None,
+    bias_a: np.ndarray | None = None,
+    noise_g: float = 0.0,
+    noise_a: float = 0.0,
+    seed: int = 1,
+) -> SyntheticImu:
+    """Analytic IMU for make_trajectory's path, via dense finite
+    differences of the exact pose spline (error O(h^2) at 2 kHz internal
+    sampling)."""
+    rng = np.random.default_rng(seed)
+    t_end = (n_frames - 1) * frame_dt
+    h = 1.0 / 2000.0
+    tt = np.arange(0.0, t_end + h, h)
+
+    def pose_at(ts):
+        m = len(ts)
+        cs = np.stack(
+            [
+                1.2 * np.sin(0.5 * ts),
+                0.3 * np.sin(0.9 * ts + 0.4),
+                0.6 * (1 - np.cos(0.45 * ts)),
+            ],
+            axis=1,
+        )
+        yaw = 0.15 * np.sin(0.7 * ts)
+        pitch = 0.06 * np.sin(0.5 * ts + 0.2)
+        rs = np.stack([_rodrigues_np(np.array([p, y, 0.0])) for y, p in zip(yaw, pitch)])
+        return rs, cs
+
+    R, c = pose_at(tt)
+    v = np.gradient(c, h, axis=0)
+    a_w = np.gradient(v, h, axis=0)
+    # body rates: omega_hat = R^T dR/dt
+    dR = np.gradient(R, h, axis=0)
+    omega_body = np.stack(
+        [
+            np.array(
+                [
+                    (R[i].T @ dR[i])[2, 1],
+                    (R[i].T @ dR[i])[0, 2],
+                    (R[i].T @ dR[i])[1, 0],
+                ]
+            )
+            for i in range(len(tt))
+        ]
+    )
+    # downsample to the IMU rate
+    step = int(round(2000.0 / hz))
+    idx = np.arange(0, len(tt), step)
+    t_s = tt[idx]
+    gyro = omega_body[idx]
+    acc_body = np.stack([R[i].T @ (a_w[i] - GRAVITY_W) for i in idx])
+    if bias_g is not None:
+        gyro = gyro + bias_g
+    if bias_a is not None:
+        acc_body = acc_body + bias_a
+    if noise_g > 0:
+        gyro = gyro + rng.normal(0, noise_g, gyro.shape)
+    if noise_a > 0:
+        acc_body = acc_body + rng.normal(0, noise_a, acc_body.shape)
+    return SyntheticImu(
+        t=t_s.astype(np.float32),
+        gyro=gyro.astype(np.float32),
+        acc=acc_body.astype(np.float32),
+        velocity=v[idx].astype(np.float32),
+    )
+
+
 def _rodrigues_np(w: np.ndarray) -> np.ndarray:
     th = np.linalg.norm(w)
     if th < 1e-10:
