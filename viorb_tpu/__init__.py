@@ -29,16 +29,17 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # across processes.
 import os as _os
 
-# separate cache dirs per platform: AOT artifacts compiled by the remote
-# tunnel's machine are not safe to load on the local CPU
-_platform_tag = _os.environ.get("JAX_PLATFORMS", "local").replace(",", "_") or "local"
-_cache_dir = _os.environ.get(
-    "VIORB_TPU_JAX_CACHE", f"/root/repo/.jax_cache/{_platform_tag}"
-)
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # cache is an optimization only
-    pass
+# Only for the remote TPU platform: CPU AOT cache entries embed
+# compile-machine flags that trip the loader, and CPU compiles are fast
+# anyway.
+if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+    _cache_dir = _os.environ.get(
+        "VIORB_TPU_JAX_CACHE", "/root/repo/.jax_cache/axon"
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization only
+        pass

@@ -191,6 +191,76 @@ def preintegrate(
     return out
 
 
+def compose_preint(a: PreintegratedImu, b: PreintegratedImu) -> PreintegratedImu:
+    """Compose consecutive preintegrated segments (i->j) ∘ (j->k) -> (i->k)
+    (Forster et al. composition; the reference instead re-integrates raw
+    samples, KeyFrame::ComputePreInt):
+
+      dP_ik = dP_ij + dV_ij dt_jk + dR_ij dP_jk
+      dV_ik = dV_ij + dR_ij dV_jk
+      dR_ik = dR_ij dR_jk
+
+    Bias Jacobians compose exactly for ba (dR has no ba dependence); for
+    bg the dR_ij sensitivity term -dR_ij [dP_jk]x J_Rij_bg is included.
+    Covariance: cov_ik = A cov_ij A^T + B cov_jk B^T with the standard
+    transition blocks. Batched over leading dims.
+    """
+    dtb = b.dt[..., None]
+    dR_a = a.delta_r
+    dp = a.delta_p + a.delta_v * dtb + (dR_a @ b.delta_p[..., None])[..., 0]
+    dv = a.delta_v + (dR_a @ b.delta_v[..., None])[..., 0]
+    dr = dR_a @ b.delta_r
+
+    j_p_ba = a.j_p_ba + a.j_v_ba * dtb[..., None] + dR_a @ b.j_p_ba
+    j_v_ba = a.j_v_ba + dR_a @ b.j_v_ba
+    hp = hat(b.delta_p)
+    hv = hat(b.delta_v)
+    j_p_bg = (
+        a.j_p_bg
+        + a.j_v_bg * dtb[..., None]
+        + dR_a @ b.j_p_bg
+        - dR_a @ hp @ a.j_r_bg
+    )
+    j_v_bg = a.j_v_bg + dR_a @ b.j_v_bg - dR_a @ hv @ a.j_r_bg
+    j_r_bg = jnp.swapaxes(b.delta_r, -1, -2) @ a.j_r_bg + b.j_r_bg
+
+    # covariance transition for the first segment's error through the second
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dp.dtype), dR_a.shape)
+    zeros3 = jnp.zeros_like(eye3)
+    A = jnp.concatenate(
+        [
+            jnp.concatenate([eye3, eye3 * dtb[..., None], -dR_a @ hp], -1),
+            jnp.concatenate([zeros3, eye3, -dR_a @ hv], -1),
+            jnp.concatenate(
+                [zeros3, zeros3, jnp.swapaxes(b.delta_r, -1, -2)], -1
+            ),
+        ],
+        -2,
+    )
+    B = jnp.concatenate(
+        [
+            jnp.concatenate([dR_a, zeros3, zeros3], -1),
+            jnp.concatenate([zeros3, dR_a, zeros3], -1),
+            jnp.concatenate([zeros3, zeros3, eye3], -1),
+        ],
+        -2,
+    )
+    cov = A @ a.cov @ jnp.swapaxes(A, -1, -2) + B @ b.cov @ jnp.swapaxes(B, -1, -2)
+
+    return PreintegratedImu(
+        delta_p=dp,
+        delta_v=dv,
+        delta_r=dr,
+        j_p_bg=j_p_bg,
+        j_p_ba=j_p_ba,
+        j_v_bg=j_v_bg,
+        j_v_ba=j_v_ba,
+        j_r_bg=j_r_bg,
+        cov=cov,
+        dt=a.dt + b.dt,
+    )
+
+
 def preintegrate_batch(
     batches: ImuBatch,
     bias_g: jax.Array,

@@ -89,7 +89,11 @@ class MonoSlam:
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.velocity: Optional[Tuple[np.ndarray, np.ndarray]] = None
-        self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # frame poses stored RELATIVE to their reference keyframe and
+        # composed with the keyframe's CURRENT pose at export time, so BA /
+        # loop / scale refinements propagate to the whole trajectory
+        # (reference: mlRelativeFramePoses, src/System.cc SaveTrajectoryTUM)
+        self.traj_entries: List[Tuple[float, int, np.ndarray, np.ndarray]] = []
         self.key = jax.random.PRNGKey(seed)
         self.n_tracked = 0
         self.sigma2 = self.extractor.level_sigma2()
@@ -120,8 +124,7 @@ class MonoSlam:
             self._try_initialize(fr)
         else:
             self._track(fr)
-        if fr.r_cw is not None:
-            self.trajectory.append((ts, fr.r_cw.copy(), fr.t_cw.copy()))
+        self._record_trajectory(fr, ts)
         self.last_frame = fr
         return {
             "state": self.state,
@@ -513,14 +516,37 @@ class MonoSlam:
 
     # -- output ----------------------------------------------------------
 
+    def _record_trajectory(self, fr: FrameRecord, ts: float):
+        if fr.r_cw is None or self.last_kf_id < 0:
+            return
+        kf = self.map.keyframes.get(self.last_kf_id)
+        if kf is None:
+            return
+        # T_rel = T_frame_cw * T_kf_cw^{-1}
+        r_rel = fr.r_cw @ kf.r_cw.T
+        t_rel = fr.t_cw - r_rel @ kf.t_cw
+        self.traj_entries.append((ts, self.last_kf_id, r_rel, t_rel))
+
+    def _rescale_trajectory(self, s: float):
+        """Applied when the map is globally rescaled (VI init)."""
+        self.traj_entries = [
+            (ts, k, r, t * s) for ts, k, r, t in self.traj_entries
+        ]
+
     def trajectory_tum(self) -> np.ndarray:
-        """(T,8): t, tx ty tz, qx qy qz qw (camera-to-world) — the
-        reference's TUM trajectory export (src/System.cc SaveTrajectoryTUM)."""
+        """(T,8): t, tx ty tz, qx qy qz qw (camera-to-world), composing
+        stored relative poses with CURRENT keyframe poses — the reference's
+        TUM trajectory export (src/System.cc SaveTrajectoryTUM)."""
         from viorb_tpu.geometry.so3 import matrix_to_quat
         import jax.numpy as jnp_
 
         rows = []
-        for ts, r_cw, t_cw in self.trajectory:
+        for ts, kf_id, r_rel, t_rel in self.traj_entries:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            r_cw = r_rel @ kf.r_cw
+            t_cw = r_rel @ kf.t_cw + t_rel
             r_wc = r_cw.T
             c = -r_wc @ t_cw
             q = np.asarray(matrix_to_quat(jnp_.asarray(r_wc)))  # (w,x,y,z)

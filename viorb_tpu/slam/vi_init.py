@@ -6,28 +6,33 @@ src/LocalMapping.cc:191-940):
   Step 1  gyro bias from relative rotations
           (Optimizer::OptimizeInitialGyroBias, src/Optimizer.cc:3138 —
           GN on r = Log(dR(bg)^T Rbi^T Rbj));
-  Step 2  linear scale + gravity: for each consecutive KF triplet,
-          eliminate velocities from the preintegrated kinematics to get
-          lambda*s + beta*gw = gamma (src/LocalMapping.cc:311-390);
+  Step 2  linear scale + gravity: for each KF triplet, eliminate
+          velocities from the preintegrated kinematics to get
+          lam*s - beta*gw = gamma (src/LocalMapping.cc:311-390);
   Step 3  refine with |g| fixed at 9.81: 2-DoF gravity-direction
           correction + accel bias (src/LocalMapping.cc:396-504);
   Step 4  per-KF velocities from the position equations
           (src/LocalMapping.cc:620-688).
 
-The systems are tiny ((3N x 4/6) least squares), so they run on host in
-f64 — exactly the split the reference uses (its own VI-init thread).
+Beyond the reference (which uses consecutive-KF triplets only), triplets
+are built at MULTIPLE STRIDES via preintegration composition: the scale
+coefficient is a double difference of camera centers, whose signal grows
+~dt^2 while vision noise stays constant — wide triplets dominate the SNR.
+
+The systems are tiny least squares, so they run on host in f64 — the same
+host/device split as the reference's VI-init thread.
 """
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from viorb_tpu.geometry.so3 import exp_so3, log_so3, right_jacobian
-from viorb_tpu.imu.preintegration import PreintegratedImu
+from viorb_tpu.geometry.so3 import exp_so3, log_so3
+from viorb_tpu.imu.preintegration import PreintegratedImu, compose_preint
 
 GRAVITY_MAG = 9.810
 
@@ -70,56 +75,78 @@ class ViInitResult(NamedTuple):
     condition_number: float
 
 
-def _triplet_system(
-    p_c: np.ndarray,  # (N,3) UNSCALED camera centers from the mono map
-    r_wb: np.ndarray,  # (N,3,3) body orientation (gravity-free vision est.)
-    p_bc_w: np.ndarray,  # (N,3) R_wc @ p_cb term: body-from-camera offset
-    dts: np.ndarray,  # (N-1,)
-    dp: np.ndarray,  # (N-1,3) preintegrated (bias-corrected) delta P
-    dv: np.ndarray,  # (N-1,3) delta V
-):
-    """Rows (lambda_i, beta_i, gamma_i) of the velocity-eliminated triplet
-    equations (reference src/LocalMapping.cc:311-355)."""
-    n = len(p_c)
-    lams, betas, gammas = [], [], []
-    for i in range(n - 2):
-        dt12, dt23 = dts[i], dts[i + 1]
-        lam = (p_c[i + 2] - p_c[i + 1]) * dt12 - (p_c[i + 1] - p_c[i]) * dt23
-        # eliminating V1 from the three kinematic equations gives
-        # lam*s - 1/2(dt12^2 dt23 + dt23^2 dt12) g = gamma
-        # (verified numerically against analytic trajectories)
-        beta = -0.5 * (dt12 * dt12 * dt23 + dt23 * dt23 * dt12) * np.eye(3)
-        gamma = (
-            r_wb[i] @ dv[i] * dt12 * dt23
-            + r_wb[i + 1] @ dp[i + 1] * dt12
-            - r_wb[i] @ dp[i] * dt23
-            - ((p_bc_w[i + 2] - p_bc_w[i + 1]) * dt12 - (p_bc_w[i + 1] - p_bc_w[i]) * dt23)
-        )
-        lams.append(lam)
-        betas.append(beta)
-        gammas.append(gamma)
-    return np.stack(lams), np.stack(betas), np.stack(gammas)
+class Triplet(NamedTuple):
+    """One velocity-eliminated equation over KFs (i, j, k) with
+    preintegrated segments i->j and j->k."""
+
+    i: int
+    j: int
+    k: int
+    pre_ij: PreintegratedImu  # single (unbatched)
+    pre_jk: PreintegratedImu
+
+
+def build_triplets(
+    pre1: PreintegratedImu,  # stacked consecutive segments (N-1)
+    strides: Sequence[int] = (1, 2, 3),
+) -> List[Triplet]:
+    """Compose consecutive preintegrations into multi-stride triplets."""
+    n_seg = pre1.dt.shape[0]
+    n = n_seg + 1
+    seg1 = [jax.tree.map(lambda x: x[i], pre1) for i in range(n_seg)]
+    # seg[s][i] = preintegration i -> i+s
+    seg = {1: seg1}
+    for s in range(2, max(strides) + 1):
+        seg[s] = [
+            compose_preint(seg[s - 1][i], seg1[i + s - 1])
+            for i in range(n - s)
+        ]
+    out = []
+    for s in strides:
+        if s not in seg:
+            continue
+        for i in range(0, n - 2 * s):
+            out.append(Triplet(i, i + s, i + 2 * s, seg[s][i], seg[s][i + s]))
+    return out
+
+
+def _row_parts(tr: Triplet, p_c, r_wb, p_bc_w, ts):
+    i, j, k = tr.i, tr.j, tr.k
+    dt12 = float(ts[j] - ts[i])
+    dt23 = float(ts[k] - ts[j])
+    lam = (p_c[k] - p_c[j]) * dt12 - (p_c[j] - p_c[i]) * dt23
+    # eliminating V_i gives: lam*s - 1/2(dt12^2 dt23 + dt23^2 dt12) g = gamma
+    # (verified numerically against analytic trajectories)
+    half = 0.5 * (dt12 * dt12 * dt23 + dt23 * dt23 * dt12)
+    dp_ij = np.asarray(tr.pre_ij.delta_p, np.float64)
+    dv_ij = np.asarray(tr.pre_ij.delta_v, np.float64)
+    dp_jk = np.asarray(tr.pre_jk.delta_p, np.float64)
+    gamma0 = (
+        r_wb[i] @ dv_ij * dt12 * dt23
+        + r_wb[j] @ dp_jk * dt12
+        - r_wb[i] @ dp_ij * dt23
+        - ((p_bc_w[k] - p_bc_w[j]) * dt12 - (p_bc_w[j] - p_bc_w[i]) * dt23)
+    )
+    return lam, half, gamma0, dt12, dt23
 
 
 def estimate_scale_gravity(
+    triplets: List[Triplet],
     p_c: np.ndarray,
     r_wb: np.ndarray,
     p_bc_w: np.ndarray,
-    dts: np.ndarray,
-    dp: np.ndarray,
-    dv: np.ndarray,
+    ts: np.ndarray,
 ) -> Tuple[float, np.ndarray, float]:
     """Step 2: unconstrained linear solve for (s, gw). Returns
-    (scale, gravity, condition number) (reference src/LocalMapping.cc:356-390,
-    condition number logged to tmp/condnum.txt)."""
-    lams, betas, gammas = _triplet_system(p_c, r_wb, p_bc_w, dts, dp, dv)
-    m = len(lams)
+    (scale, gravity, condition number) (reference src/LocalMapping.cc:356-390)."""
+    m = len(triplets)
     A = np.zeros((3 * m, 4))
     b = np.zeros(3 * m)
-    for i in range(m):
-        A[3 * i : 3 * i + 3, 0] = lams[i]
-        A[3 * i : 3 * i + 3, 1:4] = betas[i]
-        b[3 * i : 3 * i + 3] = gammas[i]
+    for r, tr in enumerate(triplets):
+        lam, half, gamma0, _, _ = _row_parts(tr, p_c, r_wb, p_bc_w, ts)
+        A[3 * r : 3 * r + 3, 0] = lam
+        A[3 * r : 3 * r + 3, 1:4] = -half * np.eye(3)
+        b[3 * r : 3 * r + 3] = gamma0
     u, s, vt = np.linalg.svd(A, full_matrices=False)
     x = vt.T @ ((u.T @ b) / s)
     cond = s[0] / max(s[-1], 1e-12)
@@ -127,16 +154,28 @@ def estimate_scale_gravity(
 
 
 def refine_scale_gravity_ba(
+    triplets: List[Triplet],
     p_c: np.ndarray,
     r_wb: np.ndarray,
     p_bc_w: np.ndarray,
-    dts: np.ndarray,
-    preints: PreintegratedImu,
+    ts: np.ndarray,
     g_est: np.ndarray,
+    ba_prior_weight: float = 0.0,
+    outer_iters: int = 3,
 ) -> Tuple[float, np.ndarray, np.ndarray]:
-    """Step 3: fix |g| = 9.81, solve for (s, dtheta_xy, ba)
-    (reference src/LocalMapping.cc:396-504). Returns (s, gw, ba)."""
-    # gravity frame: R_wi aligns gI=(0,0,-1) to current estimate direction
+    """Step 3: fix |g| = 9.81, solve for (s, dtheta_xy, ba), iterating the
+    gravity-frame linearization (reference src/LocalMapping.cc:396-504 does
+    one pass; re-centering R_wi plus a weak zero prior on ba tames the
+    g-direction/accel-bias trade-off under vision noise)."""
+    g_cur = g_est.copy()
+    for _ in range(outer_iters):
+        s, g_cur, ba = _refine_once(
+            triplets, p_c, r_wb, p_bc_w, ts, g_cur, ba_prior_weight
+        )
+    return s, g_cur, ba
+
+
+def _refine_once(triplets, p_c, r_wb, p_bc_w, ts, g_est, ba_prior_weight):
     gI = np.array([0.0, 0.0, -1.0])
     gn = g_est / max(np.linalg.norm(g_est), 1e-12)
     v = np.cross(gI, gn)
@@ -148,44 +187,34 @@ def refine_scale_gravity_ba(
         vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
         R_wi = np.eye(3) + vx + vx @ vx * ((1 - cv) / (sv * sv))
     g0 = R_wi @ gI * GRAVITY_MAG
+    gIx = np.array([[0, -gI[2], gI[1]], [gI[2], 0, -gI[0]], [-gI[1], gI[0], 0]])
 
-    dp = np.asarray(preints.delta_p, np.float64)
-    dv = np.asarray(preints.delta_v, np.float64)
-    jp_ba = np.asarray(preints.j_p_ba, np.float64)
-    jv_ba = np.asarray(preints.j_v_ba, np.float64)
-
-    n = len(p_c)
-    m = n - 2
+    m = len(triplets)
     A = np.zeros((3 * m, 6))
     b = np.zeros(3 * m)
-    gIx = np.array([[0, -gI[2], gI[1]], [gI[2], 0, -gI[0]], [-gI[1], gI[0], 0]])
-    for i in range(m):
-        dt12, dt23 = dts[i], dts[i + 1]
-        lam = (p_c[i + 2] - p_c[i + 1]) * dt12 - (p_c[i + 1] - p_c[i]) * dt23
-        half = 0.5 * (dt12 * dt12 * dt23 + dt23 * dt23 * dt12)
+    for r, tr in enumerate(triplets):
+        lam, half, gamma0, dt12, dt23 = _row_parts(tr, p_c, r_wb, p_bc_w, ts)
+        i, j = tr.i, tr.j
+        jp_ij = np.asarray(tr.pre_ij.j_p_ba, np.float64)
+        jv_ij = np.asarray(tr.pre_ij.j_v_ba, np.float64)
+        jp_jk = np.asarray(tr.pre_jk.j_p_ba, np.float64)
         # equation: lam*s - half*g(dtheta) - zeta*ba = gamma0
-        # g(dtheta) = R_wi Exp(dtheta) gI G ~= g0 - G R_wi hat(gI) dtheta
-        # => -half*dg contributes +half*G*R_wi*hat(gI) dtheta on the LHS
+        # g(dtheta) ~= g0 - G R_wi hat(gI) dtheta
         phi = half * GRAVITY_MAG * (R_wi @ gIx)
-        # accel-bias columns
         zeta = (
-            r_wb[i + 1] @ jp_ba[i + 1] * dt12
-            - r_wb[i] @ jp_ba[i] * dt23
-            + r_wb[i] @ jv_ba[i] * dt12 * dt23
+            r_wb[j] @ jp_jk * dt12
+            - r_wb[i] @ jp_ij * dt23
+            + r_wb[i] @ jv_ij * dt12 * dt23
         )
-        gamma0 = (
-            r_wb[i] @ dv[i] * dt12 * dt23
-            + r_wb[i + 1] @ dp[i + 1] * dt12
-            - r_wb[i] @ dp[i] * dt23
-            - (
-                (p_bc_w[i + 2] - p_bc_w[i + 1]) * dt12
-                - (p_bc_w[i + 1] - p_bc_w[i]) * dt23
-            )
-        )
-        A[3 * i : 3 * i + 3, 0] = lam
-        A[3 * i : 3 * i + 3, 1:3] = phi[:, :2]
-        A[3 * i : 3 * i + 3, 3:6] = -zeta
-        b[3 * i : 3 * i + 3] = gamma0 + half * g0
+        A[3 * r : 3 * r + 3, 0] = lam
+        A[3 * r : 3 * r + 3, 1:3] = phi[:, :2]
+        A[3 * r : 3 * r + 3, 3:6] = -zeta
+        b[3 * r : 3 * r + 3] = gamma0 + half * g0
+    if ba_prior_weight > 0:
+        P = np.zeros((3, 6))
+        P[:, 3:6] = np.eye(3) * ba_prior_weight
+        A = np.vstack([A, P])
+        b = np.concatenate([b, np.zeros(3)])
     x = np.linalg.lstsq(A, b, rcond=None)[0]
     s = float(x[0])
     dtheta = np.array([x[1], x[2], 0.0])
@@ -230,11 +259,11 @@ def try_vi_init(
     r_bc: np.ndarray = np.eye(3),  # extrinsics Tbc
     p_bc: np.ndarray = np.zeros(3),
     noise=None,
-    min_cond: float = 0.0,
+    strides: Sequence[int] = (1, 2, 3),
 ) -> Optional[ViInitResult]:
-    """Full VI initialization over a keyframe chain. Returns None if the
-    system is degenerate (reference gates on 15s of data + condition
-    number; callers apply the time gate)."""
+    """Full VI initialization over a keyframe chain. success=False when the
+    estimate fails plausibility gates (the reference gates on 15s of data;
+    callers apply the time gate and retry on later keyframes)."""
     from viorb_tpu.imu.preintegration import preintegrate_batch
     from viorb_tpu.imu.types import ImuNoise
 
@@ -242,11 +271,8 @@ def try_vi_init(
     n = len(p_c)
     if n < 4:
         return None
-    # x_b = r_bc x_c + p_bc  =>  x_c = r_bc^T (x_b - p_bc)
-    # x_w = Rwc x_c  =>  Rwb = Rwc @ r_bc^T
+    # x_b = r_bc x_c + p_bc  =>  Rwb = Rwc @ r_bc^T
     r_wb = np.einsum("nij,kj->nik", r_wc, r_bc)
-    # body-from-camera world offset: Pwb = s*p_wc + Rwc @ p_cb where
-    # p_cb = -r_bc^T p_bc expressed in camera frame
     p_cb = -(r_bc.T @ p_bc)
     p_bc_w = np.einsum("nij,j->ni", r_wc, p_cb)
 
@@ -264,28 +290,40 @@ def try_vi_init(
     pre = preintegrate_batch(
         imu_batches, jnp.asarray(bg), jnp.zeros(3), t0, t1, noise
     )
-    dp = np.asarray(pre.delta_p, np.float64)
-    dv = np.asarray(pre.delta_v, np.float64)
+
+    triplets = build_triplets(pre, strides=strides)
+    if len(triplets) < 4:
+        return None
 
     # step 2: linear scale + gravity
-    s2, gw2, cond = estimate_scale_gravity(p_c, r_wb, p_bc_w, dts, dp, dv)
+    s2, gw2, cond = estimate_scale_gravity(triplets, p_c, r_wb, p_bc_w, timestamps)
     if s2 <= 0:
         return None
 
     # step 3: refine with |g| constraint + accel bias
-    s3, gw3, ba = refine_scale_gravity_ba(p_c, r_wb, p_bc_w, dts, pre, gw2)
+    s3, gw3, ba = refine_scale_gravity_ba(
+        triplets, p_c, r_wb, p_bc_w, timestamps, gw2, ba_prior_weight=0.02
+    )
     if s3 <= 0:
         return None
 
+    # plausibility gates
+    ok = (
+        abs(np.linalg.norm(gw2) - GRAVITY_MAG) < 1.5
+        and np.linalg.norm(ba) < 0.6
+    )
+
     # step 4: velocities (with bias-corrected deltas at ba)
-    dp_c, dv_c, _ = jax.tree.map(np.asarray, pre.corrected_deltas(
+    dp_c, dv_c, _ = pre.corrected_deltas(
         jnp.zeros(3), jnp.asarray(ba, dtype=jnp.float32)
-    ))
+    )
     p_wb = s3 * p_c + p_bc_w
-    vels = solve_velocities(p_wb, r_wb, dts, np.asarray(dp_c), np.asarray(dv_c), gw3)
+    vels = solve_velocities(
+        p_wb, r_wb, dts, np.asarray(dp_c), np.asarray(dv_c), gw3
+    )
 
     return ViInitResult(
-        success=True,
+        success=bool(ok),
         scale=s3,
         gravity_w=gw3,
         bias_g=bg,
