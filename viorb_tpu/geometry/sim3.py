@@ -52,42 +52,50 @@ def exp_sim3(xi: jax.Array) -> Sim3:
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
 
-    small_theta = t_norm < 1e-5
-    small_sigma = jnp.abs(sigma) < 1e-5
-    # coefficients of V = A*I + B*W + C*W^2 (Strasdat thesis eq. for sim3 exp)
-    # A = (s-1)/sigma ; with theta: standard blended forms
+    # f32 note: the general-case coefficients suffer catastrophic
+    # cancellation below theta ~ 1e-3 — the small-theta series (exact to
+    # O(theta^2) relative) takes over well before that noise floor.
+    small_theta = t_norm < 1e-3
+    small_sigma = jnp.abs(sigma) < 1e-4
+    # V = A*I + B*W + C*W^2 (Sophus sim3 calcW convention with roles
+    # relabelled: our A is Sophus' C, our B its A, our C its B)
     t2 = t_norm * t_norm
     sig = sigma
     es = s
 
-    A_nosig = jnp.ones_like(sig)
+    A_nosig = 1.0 + 0.5 * sig  # series of (e^s-1)/s
     A_sig = (es - 1.0) / jnp.where(small_sigma, 1.0, sig)
     A = jnp.where(small_sigma, A_nosig, A_sig)
 
-    # B, C depend on both sigma and theta
     cos_t, sin_t = jnp.cos(t_norm), jnp.sin(t_norm)
-    denom = jnp.where(small_sigma, 1.0, sig * sig + t2)
+    denom = sig * sig + t2  # sigma^2 + theta^2
 
     # general case (sigma != 0, theta != 0)
     a_gen = es * sin_t
     b_gen = es * cos_t
+    safe_denom = jnp.where(small_theta, 1.0, denom)
     B_gen = (a_gen * sig + (1.0 - b_gen) * t_norm) / jnp.where(
-        small_theta, 1.0, t_norm * denom
+        small_theta, 1.0, t_norm * safe_denom
     )
-    C_gen = (A - ((b_gen - 1.0) * sig + a_gen * t_norm) / jnp.where(
-        small_theta, 1.0, t_norm * denom
-    )) / jnp.where(small_theta, 1.0, t2)
+    C_gen = (A - ((b_gen - 1.0) * sig + a_gen * t_norm) / safe_denom) / jnp.where(
+        small_theta, 1.0, t2
+    )
 
     # sigma ~ 0, theta != 0 (reduces to SE3 left Jacobian coefficients)
     B_se3 = (1.0 - cos_t) / jnp.where(small_theta, 1.0, t2)
     C_se3 = (t_norm - sin_t) / jnp.where(small_theta, 1.0, t2 * t_norm)
 
-    # theta ~ 0
-    B_small = jnp.where(small_sigma, 0.5, ((sig - 1.0) * es + 1.0) / jnp.where(small_sigma, 1.0, sig * sig))
+    # theta ~ 0 (any sigma)
+    B_small = jnp.where(
+        small_sigma,
+        0.5 + sig / 6.0,
+        ((sig - 1.0) * es + 1.0) / jnp.where(small_sigma, 1.0, sig * sig),
+    )
     C_small = jnp.where(
         small_sigma,
-        1.0 / 6.0,
-        (es * 0.5 * sig * sig + es - 1.0 - sig * es) / jnp.where(small_sigma, 1.0, sig * sig * sig),
+        1.0 / 6.0 + sig / 24.0,
+        (es * 0.5 * sig * sig + es - 1.0 - sig * es)
+        / jnp.where(small_sigma, 1.0, sig * sig * sig),
     )
 
     B = jnp.where(small_theta, B_small, jnp.where(small_sigma, B_se3, B_gen))
