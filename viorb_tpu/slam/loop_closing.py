@@ -1,0 +1,289 @@
+"""Loop closing: BoW detection -> Sim3 verification -> pose-graph correction.
+
+Counterpart of the reference's LoopClosing thread (reference:
+src/LoopClosing.cc — DetectLoop :127 with 3-consecutive-group consistency,
+ComputeSim3 :255 with Sim3Solver RANSAC, CorrectLoop :426 with Sim3
+propagation + essential-graph optimization :593; the follow-up GBA runs in
+optim.ba). Runs lock-step after keyframe insertion (the reference's
+dedicated thread is an execution detail; SURVEY.md §2.3 snapshot plan).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viorb_tpu.bow import BinaryVocabulary, KeyframeDatabase
+from viorb_tpu.features.matching import hamming_matrix, match_with_mask, valid_gate
+from viorb_tpu.geometry.sim3 import sim3_compose, sim3_inverse
+from viorb_tpu.mapping.map import MapStore
+from viorb_tpu.optim.pose_graph import Sim3Graph, optimize_sim3_graph
+from viorb_tpu.solvers import sim3_ransac
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        map_store: MapStore,
+        vocab: BinaryVocabulary,
+        min_matches: int = 20,
+        covis_consistency: int = 3,
+        key=None,
+    ):
+        self.map = map_store
+        self.vocab = vocab
+        self.db = KeyframeDatabase(vocab)
+        self.min_matches = min_matches
+        self.covis_consistency = covis_consistency
+        self._consistency: Dict[int, int] = {}  # candidate group anchor -> count
+        self.key = key if key is not None else jax.random.PRNGKey(7)
+        self.loops_closed = 0
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def add_keyframe(self, kf_id: int):
+        kf = self.map.keyframes[kf_id]
+        words, bow = self.vocab.transform(kf.desc01, kf.valid)
+        kf.bow = bow
+        self.db.add(kf_id, bow)
+
+    # -- detection ---------------------------------------------------------
+
+    def detect(self, kf_id: int) -> Optional[int]:
+        """Returns a consistent loop-candidate KF id or None (reference
+        DetectLoop: min-score from covisible neighbours, candidates must
+        persist for `covis_consistency` consecutive detections)."""
+        kf = self.map.keyframes[kf_id]
+        if kf.bow is None:
+            return None
+        cov = self.map.covisibility_weights(kf_id)
+        covisible = {k for k, w in cov.items() if w >= 15}
+        if covisible:
+            min_score = min(
+                BinaryVocabulary.score(kf.bow, self.map.keyframes[k].bow)
+                for k in covisible
+                if self.map.keyframes[k].bow is not None
+            )
+        else:
+            min_score = 0.05
+        cands = self.db.detect_loop_candidates(
+            kf_id, kf.bow, covisible, max(min_score, 0.01)
+        )
+        # temporal consistency: a candidate's covisibility group must
+        # persist across consecutive keyframes
+        new_consistency: Dict[int, int] = {}
+        best = None
+        for cand, score in cands:
+            group = {cand} | set(self.map.covisibility_weights(cand))
+            cnt = max(
+                (self._consistency.get(g, 0) for g in group), default=0
+            ) + 1
+            for g in group:
+                new_consistency[g] = max(new_consistency.get(g, 0), cnt)
+            if cnt >= self.covis_consistency and best is None:
+                best = cand
+        self._consistency = new_consistency
+        return best
+
+    # -- Sim3 verification -------------------------------------------------
+
+    def compute_sim3(self, kf_id: int, cand_id: int):
+        """3D-3D Sim3 between the two keyframes' matched map points in
+        their camera frames (reference ComputeSim3 -> Sim3Solver)."""
+        kf = self.map.keyframes[kf_id]
+        cd = self.map.keyframes[cand_id]
+        # descriptor matching between features that HAVE map points
+        has1 = (kf.point_idx >= 0) & kf.valid
+        has2 = (cd.point_idx >= 0) & cd.valid
+        if has1.sum() < self.min_matches or has2.sum() < self.min_matches:
+            return None
+        d1 = jnp.asarray(kf.desc01, jnp.float32) * 2 - 1
+        d2 = jnp.asarray(cd.desc01, jnp.float32) * 2 - 1
+        dist = hamming_matrix(d1, d2)
+        gate = valid_gate(jnp.asarray(has1), jnp.asarray(has2))
+        res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.9, mutual=True)
+        idx = np.asarray(res.idx)
+        m1 = np.nonzero(idx >= 0)[0]
+        if len(m1) < self.min_matches:
+            return None
+        m2 = idx[m1]
+        p_w1 = self.map.pt_xyz[kf.point_idx[m1]]
+        p_w2 = self.map.pt_xyz[cd.point_idx[m2]]
+        # camera-frame coordinates
+        pc1 = p_w1 @ kf.r_cw.T + kf.t_cw
+        pc2 = p_w2 @ cd.r_cw.T + cd.t_cw
+        n = len(m1)
+        cap = 256
+        p1 = np.zeros((cap, 3), np.float32)
+        p2 = np.zeros((cap, 3), np.float32)
+        v = np.zeros(cap, bool)
+        p1[:n] = pc1[:cap]
+        p2[:n] = pc2[:cap]
+        v[:n] = True
+        self.key, k = jax.random.split(self.key)
+        out = sim3_ransac(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(v), k,
+            inlier_th=0.1, min_inliers=self.min_matches,
+        )
+        if not bool(out.success):
+            return None
+        # S_12: maps candidate-camera coords -> current-camera coords
+        return (
+            float(out.s),
+            np.asarray(out.r),
+            np.asarray(out.t),
+            int(np.asarray(out.inliers).sum()),
+        )
+
+    # -- correction --------------------------------------------------------
+
+    def correct(self, kf_id: int, cand_id: int, s12, r12, t12):
+        """Essential-graph correction (reference CorrectLoop :426-614).
+
+        Builds the Sim3 graph over the whole keyframe set: consecutive/
+        covisibility edges from current relative poses, plus the measured
+        loop edge; optimizes with the loop-side fixed; writes back SE3
+        poses (scale folded into translation) and rescales map points via
+        their reference keyframe's correction."""
+        ids = sorted(self.map.keyframes.keys())
+        slot = {k: i for i, k in enumerate(ids)}
+        k = len(ids)
+        s = np.ones(k, np.float32)
+        r = np.stack([self.map.keyframes[i].r_cw for i in ids])
+        t = np.stack([self.map.keyframes[i].t_cw for i in ids])
+
+        # rigid propagation of the measured correction to the current KF
+        # and its covisible group BEFORE graph optimization (reference
+        # CorrectLoop :461-541): corrected S_cur = S12 ∘ S_cand; each group
+        # member keeps its relative pose to the current KF.
+        ic = slot[kf_id]
+        il = slot[cand_id]
+        s_corr = sim3_compose(
+            jnp.asarray(np.float32(s12)), jnp.asarray(r12), jnp.asarray(t12),
+            jnp.asarray(s[il]), jnp.asarray(r[il]), jnp.asarray(t[il]),
+        )
+        group = {kf_id} | {
+            g for g, wgt in self.map.covisibility_weights(kf_id).items()
+            if wgt >= 15
+        }
+        inv_cur_old = sim3_inverse(
+            jnp.asarray(s[ic]), jnp.asarray(r[ic]), jnp.asarray(t[ic])
+        )
+        s_init = s.copy()
+        r_init = r.copy()
+        t_init = t.copy()
+        for g in group:
+            ig = slot[g]
+            rel_g = sim3_compose(
+                jnp.asarray(s[ig]), jnp.asarray(r[ig]), jnp.asarray(t[ig]),
+                *inv_cur_old,
+            )
+            sg = sim3_compose(*rel_g, *s_corr)
+            s_init[ig] = float(sg[0])
+            r_init[ig] = np.asarray(sg[1])
+            t_init[ig] = np.asarray(sg[2])
+
+        ei, ej, ms, mr, mt, w = [], [], [], [], [], []
+
+        def add_edge(a, b, weight, meas=None):
+            ia, ib = slot[a], slot[b]
+            if meas is None:
+                # current relative: S_ba = S_b * S_a^{-1}
+                inv = sim3_inverse(
+                    jnp.asarray(s[ia]), jnp.asarray(r[ia]), jnp.asarray(t[ia])
+                )
+                meas = sim3_compose(
+                    jnp.asarray(s[ib]), jnp.asarray(r[ib]), jnp.asarray(t[ib]), *inv
+                )
+            ei.append(ia)
+            ej.append(ib)
+            ms.append(float(meas[0]))
+            mr.append(np.asarray(meas[1]))
+            mt.append(np.asarray(meas[2]))
+            w.append(weight)
+
+        # covisibility + temporal edges
+        seen = set()
+        for a in ids:
+            covw = self.map.covisibility_weights(a)
+            for b, cw in covw.items():
+                if cw >= 30 and (b, a) not in seen and b in slot:
+                    seen.add((a, b))
+                    add_edge(a, b, 1.0)
+        for a, b in zip(ids[:-1], ids[1:]):
+            if (a, b) not in seen and (b, a) not in seen:
+                add_edge(a, b, 1.0)
+
+        # loop edge: measured S_cur_cand = S12 * S_cand (cam frames):
+        # x_cur = S12 x_cand => S_cur_w(corr) = S12 ∘ S_cand_w
+        # relative measurement cand->cur: S_cur * S_cand^{-1} = S12
+        ei.append(slot[cand_id])
+        ej.append(slot[kf_id])
+        ms.append(float(s12))
+        mr.append(np.asarray(r12))
+        mt.append(np.asarray(t12))
+        w.append(2.0)
+
+        graph = Sim3Graph(
+            edge_i=jnp.asarray(np.array(ei, np.int32)),
+            edge_j=jnp.asarray(np.array(ej, np.int32)),
+            meas_s=jnp.asarray(np.array(ms, np.float32)),
+            meas_r=jnp.asarray(np.stack(mr)),
+            meas_t=jnp.asarray(np.stack(mt)),
+            weight=jnp.asarray(np.array(w, np.float32)),
+        )
+        # fix the loop (old) side; start from the rigidly-corrected states
+        fixed = np.zeros(k, bool)
+        fixed[slot[cand_id]] = True
+        s_o, r_o, t_o = optimize_sim3_graph(
+            jnp.asarray(s_init), jnp.asarray(r_init), jnp.asarray(t_init),
+            graph, jnp.asarray(fixed), iters=40,
+        )
+        s_o = np.asarray(s_o)
+        r_o = np.asarray(r_o)
+        t_o = np.asarray(t_o)
+
+        # transform map points via their first-observation keyframe's
+        # correction: p' = S_new^{-1}( S_old(p) )
+        pts = self.map.active_point_ids()
+        for p in pts:
+            ref = int(self.map.pt_first_kf[p])
+            if ref not in slot:
+                for q in self.map.obs_kf[p]:
+                    if q >= 0 and int(q) in slot:
+                        ref = int(q)
+                        break
+                else:
+                    continue
+            i = slot[ref]
+            x = self.map.pt_xyz[p]
+            x_cam = s[i] * (r[i] @ x) + t[i]  # old Sim3 (s=1): camera coords
+            # invert new Sim3
+            sn, rn, tn = s_o[i], r_o[i], t_o[i]
+            x_new = (rn.T @ ((x_cam - tn) / sn))
+            self.map.pt_xyz[p] = x_new
+
+        # write back SE3 poses: R, t/s (reference :529-541)
+        for kf_key, i in slot.items():
+            kf = self.map.keyframes[kf_key]
+            kf.r_cw = r_o[i].astype(np.float32)
+            kf.t_cw = (t_o[i] / s_o[i]).astype(np.float32)
+        self.loops_closed += 1
+        return True
+
+    # -- entry -------------------------------------------------------------
+
+    def process(self, kf_id: int) -> bool:
+        """Full loop-closing step for a freshly inserted keyframe."""
+        self.add_keyframe(kf_id)
+        cand = self.detect(kf_id)
+        if cand is None:
+            return False
+        sim = self.compute_sim3(kf_id, cand)
+        if sim is None:
+            return False
+        s12, r12, t12, n_inl = sim
+        return self.correct(kf_id, cand, s12, r12, t12)
