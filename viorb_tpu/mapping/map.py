@@ -209,27 +209,36 @@ class MapStore:
 
     def covisibility_weights(self, kf_id: int) -> Dict[int, int]:
         """Count shared map points with other keyframes (reference:
-        KeyFrame::UpdateConnections, >=15 threshold applied by callers)."""
+        KeyFrame::UpdateConnections, >=15 threshold applied by callers).
+        Hot host path — runs in the native C++ kernel."""
+        from viorb_tpu import native
+
         kf = self.keyframes[kf_id]
-        pts = kf.point_idx[kf.point_idx >= 0]
-        counts: Dict[int, int] = {}
-        for p in pts:
-            for k in self.obs_kf[p]:
-                if k >= 0 and k != kf_id and k in self.keyframes:
-                    counts[int(k)] = counts.get(int(k), 0) + 1
-        return counts
+        pts = kf.point_idx[kf.point_idx >= 0].astype(np.int64)
+        if len(pts) == 0:
+            return {}
+        counts = native.covis_count(pts, self.obs_kf, kf_id, self._next_kf)
+        return {
+            int(k): int(c)
+            for k, c in zip(np.nonzero(counts)[0], counts[counts > 0])
+            if int(k) in self.keyframes
+        }
 
     def local_map_points(self, kf_ids: List[int]) -> np.ndarray:
-        """All active points observed by the given keyframes."""
-        pts = set()
-        for k in kf_ids:
-            kf = self.keyframes.get(k)
-            if kf is None:
-                continue
-            for p in kf.point_idx:
-                if p >= 0 and self.pt_active[p]:
-                    pts.add(int(p))
-        return np.fromiter(pts, np.int64) if pts else np.zeros(0, np.int64)
+        """All active points observed by the given keyframes (native)."""
+        from viorb_tpu import native
+
+        arrs = [
+            self.keyframes[k].point_idx
+            for k in kf_ids
+            if k in self.keyframes
+        ]
+        if not arrs:
+            return np.zeros(0, np.int64)
+        mask = native.union_points(
+            np.concatenate(arrs), self.pt_active
+        )
+        return np.nonzero(mask)[0].astype(np.int64)
 
     # -- BA problem assembly -------------------------------------------------
 
@@ -242,8 +251,12 @@ class MapStore:
 
         kf_list = window_kfs + fixed_kfs; kf slot = index into kf_list.
         """
+        from viorb_tpu import native
+
         kf_list = list(window_kfs) + [k for k in fixed_kfs if k not in window_kfs]
-        slot = {k: i for i, k in enumerate(kf_list)}
+        slot_of_kf = np.full(self._next_kf, -1, np.int32)
+        for i, k in enumerate(kf_list):
+            slot_of_kf[k] = i
         pts = self.local_map_points(window_kfs)
         # prioritize points with most observations in the window
         if len(pts) > max_landmarks:
@@ -251,19 +264,25 @@ class MapStore:
             pts = pts[np.argsort(-counts)[:max_landmarks]]
         m = max_landmarks
         r = MAX_OBS_PER_POINT
+        n_feat = max(self.keyframes[k].n_feats for k in kf_list)
+        xy_all = np.zeros((len(kf_list), n_feat, 2), np.float32)
+        level_all = np.zeros((len(kf_list), n_feat), np.int32)
+        for i, k in enumerate(kf_list):
+            kf = self.keyframes[k]
+            xy_all[i, : kf.n_feats] = kf.xy
+            level_all[i, : kf.n_feats] = kf.level
+        inv_sigma2_of_level = (1.0 / 1.2 ** (2 * np.arange(16))).astype(np.float32)
+        kf_idx_p, uv_p, inv_s2_p, valid_p = native.build_ba_grid(
+            pts.astype(np.int64), self.obs_kf, self.obs_feat, slot_of_kf,
+            xy_all, level_all, inv_sigma2_of_level,
+        )
         kf_idx = np.zeros((m, r), np.int32)
         uv = np.zeros((m, r, 2), np.float32)
         inv_sigma2 = np.ones((m, r), np.float32)
         valid = np.zeros((m, r), bool)
-        for row, p in enumerate(pts):
-            for s in range(r):
-                k = self.obs_kf[p, s]
-                if k < 0 or int(k) not in slot:
-                    continue
-                f = self.obs_feat[p, s]
-                kf = self.keyframes[int(k)]
-                kf_idx[row, s] = slot[int(k)]
-                uv[row, s] = kf.xy[f]
-                inv_sigma2[row, s] = 1.0 / (1.2 ** (2 * int(kf.level[f])))
-                valid[row, s] = True
+        n = len(pts)
+        kf_idx[:n] = kf_idx_p
+        uv[:n] = uv_p
+        inv_sigma2[:n] = inv_s2_p
+        valid[:n] = valid_p
         return kf_list, pts, kf_idx, uv, inv_sigma2, valid

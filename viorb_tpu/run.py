@@ -1,0 +1,147 @@
+"""CLI runner: dataset replay through the SLAM pipeline.
+
+Counterpart of the reference's example mains (reference:
+Examples/Monocular/mono_{tum,euroc,kitti}.cc and the VI rosbag replay in
+Examples/ROS/ORB_VIO/src/ros_vio.cc — including its deterministic
+lock-step mode, which is this runner's only mode). Prints per-frame
+timing statistics at exit like the reference mains
+(Examples/Monocular/mono_euroc.cc:98-125).
+
+Usage:
+  python -m viorb_tpu.run --dataset synthetic --frames 60 --out traj.txt
+  python -m viorb_tpu.run --dataset tum --path <seq_dir> --config cfg.yaml
+  python -m viorb_tpu.run --dataset euroc --path <seq_dir> --config cfg.yaml --vi
+  python -m viorb_tpu.run --dataset kitti --path <seq_dir> --config cfg.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="viorb_tpu SLAM runner")
+    ap.add_argument("--dataset", choices=["synthetic", "tum", "euroc", "kitti"],
+                    default="synthetic")
+    ap.add_argument("--path", help="dataset sequence directory")
+    ap.add_argument("--config", help="settings YAML (reference schema)")
+    ap.add_argument("--vi", action="store_true", help="visual-inertial mode")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--out", default="trajectory_tum.txt")
+    ap.add_argument("--out-kf", default=None)
+    ap.add_argument("--out-kitti", default=None)
+    ap.add_argument("--n-features", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from viorb_tpu.io.config import SlamConfig
+    from viorb_tpu.io.trajectory import (
+        save_keyframe_trajectory_navstate,
+        save_keyframe_trajectory_tum,
+        save_trajectory_kitti,
+        save_trajectory_tum,
+    )
+
+    if args.config:
+        cfg = SlamConfig.from_yaml(args.config)
+    else:
+        from viorb_tpu.geometry.camera import PinholeCamera
+
+        cfg = SlamConfig(camera=PinholeCamera(
+            fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
+        ))
+    n_features = args.n_features or cfg.n_features
+
+    # frame source
+    imu_stream = None
+    if args.dataset == "synthetic":
+        from viorb_tpu.io.synthetic import make_imu, make_sequence
+
+        seq = make_sequence(n_frames=args.frames, dt=0.1)
+        frames = list(zip(seq.timestamps.tolist(), seq.images))
+        cfg.camera = seq.cam
+        if args.vi:
+            imu = make_imu(args.frames, 0.1)
+            imu_stream = (imu.t, imu.gyro, imu.acc)
+    elif args.dataset == "tum":
+        from viorb_tpu.io.datasets import load_tum_mono
+
+        frames = list(load_tum_mono(args.path))
+    elif args.dataset == "euroc":
+        from viorb_tpu.io.datasets import load_euroc_imu, load_euroc_mono
+
+        frames = list(load_euroc_mono(args.path))
+        if args.vi:
+            t, g, a = load_euroc_imu(args.path)
+            if cfg.multiply_g:
+                a = a * 9.80665
+            imu_stream = (t, g, a)
+    else:
+        from viorb_tpu.io.datasets import load_kitti_mono
+
+        frames = list(load_kitti_mono(args.path))
+
+    # system
+    if args.vi:
+        from viorb_tpu.slam.mono_vi import MonoViSlam
+
+        slam = MonoViSlam(
+            cfg.camera,
+            r_bc=cfg.r_bc,
+            p_bc=cfg.p_bc,
+            n_features=n_features,
+            local_window=cfg.local_window,
+            vi_init_min_time=min(cfg.vins_init_time, 3.0),
+        )
+    else:
+        from viorb_tpu.slam.mono import MonoSlam
+
+        slam = MonoSlam(
+            cfg.camera, n_features=n_features, local_window=cfg.local_window
+        )
+
+    times = []
+    prev_t = -np.inf
+    for i, (ts, img) in enumerate(frames):
+        t0 = time.perf_counter()
+        if args.vi and imu_stream is not None:
+            it, ig, ia = imu_stream
+            sel = (it > prev_t) & (it <= ts + cfg.image_delay_to_imu)
+            samples = [
+                (float(t_), g_, a_) for t_, g_, a_ in zip(it[sel], ig[sel], ia[sel])
+            ]
+            info = slam.process_frame_vi(img, float(ts), samples)
+        else:
+            info = slam.process_frame(img, float(ts))
+        times.append(time.perf_counter() - t0)
+        prev_t = ts
+        if i % 20 == 0:
+            print(
+                f"[{i}/{len(frames)}] {info['state']} tracked={info['n_tracked']} "
+                f"kfs={info['n_kfs']} points={info['n_points']}",
+                file=sys.stderr,
+            )
+
+    # per-frame stats like the reference mains
+    ts_sorted = np.sort(times)
+    print(
+        f"frames: {len(frames)}  median track time: {np.median(ts_sorted)*1000:.1f} ms  "
+        f"mean: {np.mean(times)*1000:.1f} ms",
+        file=sys.stderr,
+    )
+    save_trajectory_tum(slam, args.out)
+    print(f"trajectory saved to {args.out}", file=sys.stderr)
+    if args.out_kf:
+        if args.vi:
+            save_keyframe_trajectory_navstate(slam, args.out_kf)
+        else:
+            save_keyframe_trajectory_tum(slam, args.out_kf)
+    if args.out_kitti:
+        save_trajectory_kitti(slam, args.out_kitti)
+
+
+if __name__ == "__main__":
+    main()

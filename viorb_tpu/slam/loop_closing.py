@@ -276,9 +276,9 @@ class LoopCloser:
 
     # -- entry -------------------------------------------------------------
 
-    def process(self, kf_id: int) -> bool:
-        """Full loop-closing step for a freshly inserted keyframe."""
-        self.add_keyframe(kf_id)
+    def try_close(self, kf_id: int) -> bool:
+        """Detection + verification + correction for an already-registered
+        keyframe."""
         cand = self.detect(kf_id)
         if cand is None:
             return False
@@ -287,3 +287,8 @@ class LoopCloser:
             return False
         s12, r12, t12, n_inl = sim
         return self.correct(kf_id, cand, s12, r12, t12)
+
+    def process(self, kf_id: int) -> bool:
+        """Full loop-closing step for a freshly inserted keyframe."""
+        self.add_keyframe(kf_id)
+        return self.try_close(kf_id)

@@ -75,6 +75,8 @@ class MonoSlam:
         max_ba_landmarks: int = 2048,
         kf_max_interval: int = 10,
         seed: int = 0,
+        vocabulary=None,
+        enable_loop_closing: bool = False,
     ):
         self.cam = cam
         self.extractor = OrbExtractor(n_features=n_features)
@@ -97,6 +99,16 @@ class MonoSlam:
         self.key = jax.random.PRNGKey(seed)
         self.n_tracked = 0
         self.sigma2 = self.extractor.level_sigma2()
+        # optional place recognition: relocalization + loop closing
+        # (reference: KeyFrameDatabase + LoopClosing thread)
+        self.loop_closer = None
+        self.vocabulary = vocabulary
+        if vocabulary is not None:
+            from viorb_tpu.slam.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.map, vocabulary)
+            self.enable_loop_closing = enable_loop_closing
+        self.lost_frames = 0
 
     # ------------------------------------------------------------------
 
@@ -294,6 +306,8 @@ class MonoSlam:
         pf = np.asarray(point_for_feat)
         matched_feats = np.nonzero(pf >= 0)[0]
         if len(matched_feats) < 10:
+            if self._relocalize(fr):
+                return
             self.state = "LOST"
             self.n_tracked = 0
             return
@@ -320,6 +334,8 @@ class MonoSlam:
         inl = np.asarray(inlier)
         self.n_tracked = int(inl.sum())
         if self.n_tracked < 10:
+            if self._relocalize(fr):
+                return
             self.state = "LOST"
             return
         self.state = "OK"
@@ -356,6 +372,65 @@ class MonoSlam:
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
 
+    def _relocalize(self, fr: FrameRecord) -> bool:
+        """BoW candidates -> descriptor matching to candidate map points ->
+        PnP RANSAC -> pose-only refinement (reference:
+        Tracking::Relocalization, src/Tracking.cc:2127-2291)."""
+        if self.loop_closer is None:
+            return False
+        from viorb_tpu.solvers import pnp_ransac
+
+        _, qbow = self.vocabulary.transform(fr.desc01, fr.valid)
+        cands = self.loop_closer.db.query(qbow, max_results=5)
+        d_f = fr.desc_pm1
+        for cand_id, score in cands:
+            kf = self.map.keyframes.get(cand_id)
+            if kf is None:
+                continue
+            has = (kf.point_idx >= 0) & kf.valid
+            if has.sum() < 15:
+                continue
+            d_k = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
+            dist = hamming_matrix(d_k, d_f)
+            gate = valid_gate(jnp.asarray(has), jnp.asarray(fr.valid))
+            res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.85, mutual=True)
+            idx = np.asarray(res.idx)  # per-kf-feature best frame feature
+            mk = np.nonzero(idx >= 0)[0]
+            if len(mk) < 15:
+                continue
+            mf = idx[mk]
+            nf = fr.xy.shape[0]
+            pts = np.zeros((nf, 3), np.float32)
+            uv = fr.xy
+            valid = np.zeros(nf, bool)
+            pts[mf] = self.map.pt_xyz[kf.point_idx[mk]]
+            valid[mf] = True
+            out = pnp_ransac(
+                jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(valid),
+                self.cam, self._next_key(),
+            )
+            if not bool(out.success):
+                continue
+            obs = PoseObs(
+                points=jnp.asarray(pts),
+                uv=jnp.asarray(uv),
+                inv_sigma2=jnp.ones(nf),
+                valid=out.inliers,
+            )
+            R_ref, t_ref, inl = pose_optimization_tcw(
+                out.r_cw, out.t_cw, obs, self.cam
+            )
+            if int(np.asarray(inl).sum()) < 15:
+                continue
+            fr.r_cw = np.asarray(R_ref)
+            fr.t_cw = np.asarray(t_ref)
+            self.state = "OK"
+            self.velocity = None
+            self.n_tracked = int(np.asarray(inl).sum())
+            self.lost_frames = 0
+            return True
+        return False
+
     # -- mapping step ----------------------------------------------------
 
     def _insert_keyframe(self, fr: FrameRecord):
@@ -386,6 +461,10 @@ class MonoSlam:
         self._local_ba(window, fixed)
         self._cull_points(kf_id)
         self.last_kf_id = kf_id
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(kf_id)
+            if getattr(self, "enable_loop_closing", False):
+                self.loop_closer.try_close(kf_id)
         kf_ = self.map.keyframes[kf_id]
         fr.r_cw, fr.t_cw = kf_.r_cw.copy(), kf_.t_cw.copy()
 
