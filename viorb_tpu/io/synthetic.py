@@ -128,7 +128,11 @@ def _render_frame_jax(cam: PinholeCamera, r_wc, c_w, plane_arrays):
     vals, ts = jax.vmap(one_plane)(origins, ax_u, ax_v, sizes, textures)
     best = jnp.argmin(ts, axis=0)
     img = jnp.take_along_axis(vals, best[None], axis=0)[0]
-    return jnp.nan_to_num(img, nan=127.0)
+    # depth = camera-z of the hit point: t is distance along d_w whose
+    # camera-frame z component is 1, so t IS the z-depth
+    depth = jnp.take_along_axis(ts, best[None], axis=0)[0]
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    return jnp.nan_to_num(img, nan=127.0), depth
 
 
 def _stack_planes(planes: List[Plane]):
@@ -154,9 +158,8 @@ def render_frame(
     """Render (H,W) f32 image by ray casting (jitted; cached per camera)."""
     arrays = _stack_planes(planes)
     fn = _get_render_fn(cam)
-    return np.asarray(
-        fn(np.asarray(r_wc, np.float32), np.asarray(c_w, np.float32), arrays)
-    )
+    img, _ = fn(np.asarray(r_wc, np.float32), np.asarray(c_w, np.float32), arrays)
+    return np.asarray(img)
 
 
 _RENDER_CACHE = {}
@@ -338,21 +341,26 @@ def make_sequence(
     seed: int = 0,
     dt: float = 0.05,
     cache_dir: str = "/tmp/viorb_tpu_synth",
-) -> SyntheticSequence:
+    with_depth: bool = False,
+):
     """Rendered sequence with disk caching (rendering is jitted and batched;
-    a cached 60-frame 752x480 sequence loads in <1s)."""
+    a cached 60-frame 752x480 sequence loads in <1s). with_depth=True
+    returns (SyntheticSequence, [depth images]) for the RGB-D pipeline."""
     import os
 
     cam = cam or PinholeCamera(
         fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
     )
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"seq_v2_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}"
+    tag = f"seq_v3_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}"
     path = os.path.join(cache_dir, tag + ".npz")
     r_wc, c_w = make_trajectory(n_frames, dt)
     if os.path.exists(path):
-        stack = np.load(path)["images"]  # decompress ONCE
+        data = np.load(path)
+        stack = data["images"]  # decompress ONCE
+        dstack = data["depths"]
         images = [stack[i] for i in range(n_frames)]
+        depths = [dstack[i] for i in range(n_frames)]
     else:
         import jax
 
@@ -367,20 +375,28 @@ def make_sequence(
             batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
             chunk = 10
             outs = []
+            douts = []
             for s in range(0, n_frames, chunk):
                 e = min(s + chunk, n_frames)
                 # pad the last chunk to keep one compiled shape
                 idx = list(range(s, e)) + [e - 1] * (chunk - (e - s))
-                out = batched(
+                img, dep = batched(
                     np.asarray(r_wc[idx]), np.asarray(c_w[idx]), arrays
                 )
-                outs.append(np.asarray(out)[: e - s])
+                outs.append(np.asarray(img)[: e - s])
+                douts.append(np.asarray(dep)[: e - s])
         images = [im for o in outs for im in o]
-        np.savez_compressed(path, images=np.stack(images))
-    return SyntheticSequence(
+        depths = [dm for o in douts for dm in o]
+        np.savez_compressed(
+            path, images=np.stack(images), depths=np.stack(depths)
+        )
+    seq = SyntheticSequence(
         images=images,
         r_wc=r_wc,
         c_w=c_w,
         timestamps=np.arange(n_frames) * dt,
         cam=cam,
     )
+    if with_depth:
+        return seq, depths
+    return seq
