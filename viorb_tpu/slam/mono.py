@@ -460,6 +460,7 @@ class MonoSlam:
             fixed = [min(self.map.kf_ids())]
         self._local_ba(window, fixed)
         self._cull_points(kf_id)
+        self._cull_keyframes(window)
         self.last_kf_id = kf_id
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(kf_id)
@@ -580,6 +581,44 @@ class MonoSlam:
             p = int(pt_ids[row])
             for s in np.nonzero(dropped[row])[0]:
                 self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+
+    def _cull_keyframes(self, window: List[int]):
+        """Redundant-keyframe culling (reference LocalMapping::
+        KeyFrameCulling, src/LocalMapping.cc:1665-1824): a window KF is
+        dropped when >=90% of its tracked points are observed by at least
+        3 other keyframes. The first two keyframes are never culled; at
+        most one KF is culled per call (conservative)."""
+        protected = set(sorted(self.map.keyframes.keys())[:2])
+        protected.add(self.last_kf_id)
+        for k in window:
+            if k in protected or k not in self.map.keyframes:
+                continue
+            kf = self.map.keyframes[k]
+            pts = kf.point_idx[kf.point_idx >= 0]
+            if len(pts) < 20:
+                continue
+            n_obs = (self.map.obs_kf[pts] >= 0).sum(axis=1)
+            redundant = (n_obs >= 4).mean()  # self + 3 others
+            if redundant > 0.9:
+                # re-anchor trajectory entries onto the newest keyframe:
+                # T_rel' = T_rel * T_k * T_anchor^{-1}
+                anchor = self.last_kf_id
+                akf = self.map.keyframes[anchor]
+                r_ak = kf.r_cw @ akf.r_cw.T
+                t_ak = kf.t_cw - r_ak @ akf.t_cw
+                self.traj_entries = [
+                    (ts, kf_id, r_rel, t_rel)
+                    if kf_id != k
+                    else (ts, anchor, r_rel @ r_ak, r_rel @ t_ak + t_rel)
+                    for ts, kf_id, r_rel, t_rel in self.traj_entries
+                ]
+                for p in pts:
+                    self.map.remove_observation(int(p), k)
+                kf.active = False
+                if self.loop_closer is not None:
+                    self.loop_closer.db.remove(k)
+                del self.map.keyframes[k]
+                return
 
     def _cull_points(self, kf_id: int):
         """Light MapPointCulling (reference src/LocalMapping.cc:1198):

@@ -131,6 +131,13 @@ class MonoViSlam(MonoSlam):
 
     # -- keyframe hooks ---------------------------------------------------
 
+    def _cull_keyframes(self, window):
+        """Disabled in VI mode: culling a chain keyframe would require
+        merging its IMU preintegration into the neighbours (the
+        reference's VI-aware KeyFrameCulling with 0.5 s time-gap guards,
+        src/LocalMapping.cc:1705-1750) — a next-round item."""
+        return
+
     def _insert_keyframe(self, fr: FrameRecord):
         super()._insert_keyframe(fr)
         kf_id = self.last_kf_id
