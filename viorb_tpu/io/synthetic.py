@@ -340,7 +340,7 @@ def make_sequence(
     cam: PinholeCamera | None = None,
     seed: int = 0,
     dt: float = 0.05,
-    cache_dir: str = "/tmp/viorb_tpu_synth",
+    cache_dir: str = "/root/repo/.synth_cache",
     with_depth: bool = False,
 ):
     """Rendered sequence with disk caching (rendering is jitted and batched;
