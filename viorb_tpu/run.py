@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--out-kitti", default=None)
     ap.add_argument("--n-features", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.dataset != "synthetic" and not args.path:
+        ap.error(f"--dataset {args.dataset} requires --path <sequence dir>")
 
     from viorb_tpu.io.config import SlamConfig
     from viorb_tpu.io.trajectory import (
