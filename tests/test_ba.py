@@ -153,11 +153,14 @@ def test_vision_ba_two_phase_drops_outliers(rng):
     assert v[10:, :].mean() > 0.95
 
 
-def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0):
-    """Body moves on a smooth arc with constant accel; camera = body."""
+def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0, accel_fn=None, omega=None):
+    """Body moves on a smooth arc; camera = body. With the default constant
+    world acceleration, scale/accel-bias/gravity are near-degenerate (the
+    classic VI unobservability) — pass accel_fn/omega for excited
+    trajectories."""
     g_w = np.array([0, 0, -9.81], np.float32)
     a_body = np.array([0.4, 0.1, 0.2], np.float32)  # world accel (R=I)
-    omega = np.array([0.0, 0.0, 0.3], np.float32)
+    omega = np.array([0.0, 0.0, 0.3], np.float32) if omega is None else omega
     navs = []
     pres = []
     t = 0.0
@@ -170,7 +173,7 @@ def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0):
         samples_g, samples_a, ts = [], [], []
         for s in range(int(dt_kf * hz)):
             # world-frame true accel (excluding gravity): a_body rotated
-            a_w = a_body
+            a_w = a_body if accel_fn is None else accel_fn(t)
             # measured: f_b = R^T (a_w - g_w)
             f_b = R.T @ (a_w - g_w)
             w_b = R.T @ omega
@@ -294,3 +297,87 @@ def test_pose_optimization_vi(rng):
     mi = np.asarray(marg_info)
     np.testing.assert_allclose(mi, mi.T, atol=1e-2)
     assert np.linalg.eigvalsh(mi).min() > -1e-3
+
+
+def test_vi_ba_gw_repairs_scale_and_gravity(rng):
+    """The post-init GBA with a free gravity vertex must repair a global
+    scale error and a tilted gravity estimate (the failure mode the
+    closed-form VI init leaves behind; reference
+    GlobalBundleAdjustmentNavStateWithGw, src/Optimizer.cc:2702-2760)."""
+    from viorb_tpu.optim import vi_ba_gw
+
+    k = 8
+
+    # time-varying acceleration: without excitation, a constant accel-bias
+    # increment absorbs any scale error and the problem is degenerate
+    def accel(t):
+        return np.array(
+            [
+                0.8 * np.sin(4.0 * t),
+                0.5 * np.cos(3.0 * t),
+                0.4 * np.sin(5.0 * t + 0.5),
+            ],
+            np.float32,
+        )
+
+    navs, pres, g_w = _simulate_vi_trajectory(
+        k, accel_fn=accel, omega=np.array([0.25, 0.2, 0.3], np.float32)
+    )
+    m = 80
+    pts = make_world(rng, m, depth=(5.0, 12.0))
+    ext = Extrinsics.identity()
+
+    uvs = []
+    for p, v, R in navs:
+        pc = (pts - p) @ R
+        uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+        uv += rng.normal(size=uv.shape) * 0.3
+        uvs.append(uv.astype(np.float32))
+    kf_idx = np.tile(np.arange(k, dtype=np.int32), (m, 1))
+    obs = BAObservations(
+        kf_idx=jnp.asarray(kf_idx),
+        uv=jnp.asarray(np.stack(uvs, axis=1)),
+        inv_sigma2=jnp.ones((m, k)),
+        valid=jnp.ones((m, k), bool),
+    )
+
+    ps = np.stack([n[0] for n in navs])
+    vs = np.stack([n[1] for n in navs])
+    Rs = np.stack([n[2] for n in navs])
+    z = np.zeros((k, 3), np.float32)
+
+    # corrupt: 5% global scale error on positions/velocities/landmarks
+    # (KF0 sits at the origin so the gauge anchor is unaffected),
+    # gravity direction tilted by ~2 degrees
+    s_err = 1.05
+    tilt = np.asarray(exp_so3(jnp.asarray([0.035, -0.012, 0.0])))
+    g_bad = (tilt @ g_w).astype(np.float32)
+    nav0 = NavState(
+        jnp.asarray(ps * s_err), jnp.asarray(vs * s_err), jnp.asarray(Rs),
+        jnp.asarray(z), jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+    )
+    state = ViBAState(nav0, jnp.asarray(pts * s_err))
+    chain = ImuChain(
+        pre=jax.tree.map(lambda *xs: jnp.stack(xs), *pres),
+        valid=jnp.ones(k - 1, bool),
+        bias_cov_inv_diag=jnp.concatenate(
+            [jnp.full(3, 1.0 / ImuNoise().gyro_bias_rw_var),
+             jnp.full(3, 1.0 / ImuNoise().acc_bias_rw_var)]
+        ) * 0.005,
+    )
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+    out, g_est, chi2 = vi_ba_gw(
+        state, obs, CAM, ext, chain, jnp.asarray(g_bad), fixed, iters=25
+    )
+    # thresholds are information-limited, not solver-limited: over a
+    # 1.75 s window the bias/scale/gravity cross-talk leaves ~0.3 deg and
+    # ~1.6% residual (vs 2 deg / 5% going in); longer chains do better
+    gn = np.asarray(g_est)
+    cos = gn @ g_w / (np.linalg.norm(gn) * np.linalg.norm(g_w))
+    assert cos > np.cos(np.deg2rad(0.5)), f"gravity cos {cos}"
+    span_est = np.ptp(np.asarray(out.nav.p), axis=0)
+    span_gt = np.ptp(ps, axis=0)
+    ratio = np.linalg.norm(span_est) / np.linalg.norm(span_gt)
+    assert abs(ratio - 1.0) < 0.025, f"scale ratio {ratio}"
+    p_err = np.abs(np.asarray(out.nav.p) - ps).max()
+    assert p_err < 0.03, f"p_err {p_err}"

@@ -48,13 +48,13 @@ def test_mono_vi_slam(vi_sequence):
     assert cos > 0.996, f"gravity direction off: cos={cos}"
 
     # METRIC ATE: SE3 alignment only (scale must come from the IMU).
-    # Whole trajectory: bounded by the init's scale/gravity error (~5%,
-    # to be recovered by a gravity-vertex GBA in a later milestone).
+    # The post-init gravity-vertex GBA (vi_ba_gw) repairs the closed-form
+    # init's scale/gravity error, so the whole trajectory is tight.
     traj = slam.trajectory_tum()
     rmse = ate_rmse(
         traj[:, 0], traj[:, 1:4], seq.timestamps, seq.c_w, with_scale=False
     )
-    assert rmse < 0.25, f"metric ATE RMSE {rmse:.3f} m"
+    assert rmse < 0.08, f"metric ATE RMSE {rmse:.3f} m"
 
     # post-init steady-state tracking must be tight both metrically and
     # in shape
@@ -72,4 +72,7 @@ def test_mono_vi_slam(vi_sequence):
     est_span = np.ptp(traj[:, 1:4], axis=0)
     gt_span = np.ptp(seq.c_w, axis=0)
     ratio = np.linalg.norm(est_span) / np.linalg.norm(gt_span)
-    assert 0.85 < ratio < 1.15, f"scale ratio {ratio}"
+    # interim gate: the continuous init refinement compounds a small
+    # attenuation bias in the closed-form scale estimate (being fixed
+    # this round; target +-5%)
+    assert 0.88 < ratio < 1.12, f"scale ratio {ratio}"

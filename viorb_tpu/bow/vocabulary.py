@@ -71,8 +71,8 @@ class BinaryVocabulary(NamedTuple):
     def transform(self, desc01: np.ndarray, valid: np.ndarray | None = None):
         """(N,256) {0,1} descriptors -> (word_ids (N,), bow dict word->weight).
 
-        Host-side numpy descent (vectorized over N); see transform_device
-        for the jit version.
+        Host-side numpy descent (vectorized over N); transform_device is
+        the jitted on-device version for the per-keyframe path.
         """
         d = desc01.astype(np.float32) * 2 - 1
         n = len(d)
@@ -101,6 +101,34 @@ class BinaryVocabulary(NamedTuple):
             bow = {k: v / s for k, v in bow.items()}
         return words, bow
 
+    def transform_device(self, desc_pm1, valid):
+        """Jitted batched tree descent: every level is one gathered
+        (N,k,256)x(N,256) contraction — the whole frame descends in L
+        matmuls (the docstring's 'batched matmul' path, replacing DBoW2's
+        per-descriptor recursive transform).
+
+        desc_pm1: (N,256) {-1,+1} device array; valid: (N,) bool.
+        Returns (word_ids (N,) i32 device, bow dict word->weight host)."""
+        arrs = _device_cache.get(id(self))
+        if arrs is None:
+            arrs = (
+                jnp.asarray(self.children),
+                jnp.asarray(self.centers_pm1),
+                jnp.asarray(self.is_leaf),
+                jnp.asarray(self.word_id),
+                jnp.asarray(self.idf),
+            )
+            _device_cache[id(self)] = arrs
+        words, weights = _descend_device(
+            *arrs, jnp.asarray(desc_pm1, jnp.float32), jnp.asarray(valid)
+        )
+        words_np = np.asarray(words)
+        weights_np = np.asarray(weights)
+        bow: Dict[int, float] = {}
+        for w in np.unique(words_np[words_np >= 0]):
+            bow[int(w)] = float(weights_np[w])
+        return words_np, bow
+
     @staticmethod
     def score(bow_a: Dict[int, float], bow_b: Dict[int, float]) -> float:
         """L1 score in [0,1] (reference DBoW2::L1Scoring):
@@ -112,6 +140,36 @@ class BinaryVocabulary(NamedTuple):
             if vb is not None:
                 s += abs(va) + abs(vb) - abs(va - vb)
         return 0.5 * s
+
+
+_device_cache: Dict[int, tuple] = {}
+
+
+@jax.jit
+def _descend_device(children, centers_pm1, is_leaf, word_id, idf, desc_pm1, valid):
+    """Batched descent to leaves + tf-idf word histogram (L1-normalized)."""
+    n = desc_pm1.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+
+    def body(_, node):
+        ch = children[node]  # (N,k)
+        cent = centers_pm1[jnp.maximum(ch, 0)]  # (N,k,256)
+        sim = jnp.einsum("nkd,nd->nk", cent, desc_pm1)
+        sim = jnp.where(ch >= 0, sim, -1e9)
+        best = jnp.take_along_axis(
+            ch, jnp.argmax(sim, axis=1)[:, None], axis=1
+        )[:, 0]
+        return jnp.where(is_leaf[node], node, best)
+
+    # depth bound: vocabulary trees are shallow (depth<=8)
+    node = jax.lax.fori_loop(0, 8, body, node)
+    words = jnp.where(valid, word_id[node], -1)
+    n_words = idf.shape[0]
+    hist = jnp.zeros(n_words, jnp.float32).at[
+        jnp.where(words >= 0, words, n_words)
+    ].add(jnp.where(words >= 0, idf[jnp.maximum(words, 0)], 0.0), mode="drop")
+    hist = hist / jnp.maximum(jnp.sum(hist), 1e-12)
+    return words, hist
 
 
 def train_vocabulary(

@@ -87,6 +87,9 @@ class SlamConfig:
     multiply_g: bool = False
     # depth (RGB-D) scaling
     depth_map_factor: float = 1.0
+    # stereo: fx * baseline (reference Camera.bf) and close-point bound
+    bf: float = 0.0
+    depth_th_factor: float = 35.0
 
     @staticmethod
     def from_yaml(path: str) -> "SlamConfig":
@@ -116,6 +119,8 @@ class SlamConfig:
         cfg.image_delay_to_imu = float(d.get("Camera.delaytoimu", 0.0))
         cfg.multiply_g = bool(int(d.get("IMU.multiplyG", 0)))
         cfg.depth_map_factor = float(d.get("DepthMapFactor", 1.0))
+        cfg.bf = float(d.get("Camera.bf", 0.0))
+        cfg.depth_th_factor = float(d.get("ThDepth", 35.0))
         tbc = d.get("Camera.Tbc")
         if tbc is not None:
             tbc = np.asarray(tbc, np.float64)

@@ -124,6 +124,25 @@ def load_kitti_mono(seq_dir: str, cam: int = 0) -> MonoFrameStream:
     return MonoFrameStream(ts, paths)
 
 
+def load_euroc_stereo(seq_dir: str):
+    """EuRoC cam0 (left) + cam1 (right). Returns (left MonoFrameStream,
+    right image paths aligned to left timestamps)."""
+    left = load_euroc_mono(seq_dir)
+    cam1 = os.path.join(seq_dir, "mav0", "cam1", "data")
+    right = [os.path.join(cam1, os.path.basename(p)) for p in left.image_paths]
+    return left, right
+
+
+def load_kitti_stereo(seq_dir: str):
+    """KITTI odometry gray stereo: image_0 (left) + image_1 (right)."""
+    left = load_kitti_mono(seq_dir, cam=0)
+    img1 = os.path.join(seq_dir, "image_1")
+    right = [
+        os.path.join(img1, os.path.basename(p)) for p in left.image_paths
+    ]
+    return left, right
+
+
 def load_euroc_groundtruth(seq_dir: str):
     """EuRoC state_groundtruth_estimate0/data.csv -> (t, xyz, quat wxyz)
     (the format evaluate_viorb/euroc_to_tum.py converts)."""

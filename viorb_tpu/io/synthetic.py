@@ -317,10 +317,34 @@ def _rodrigues_np(w: np.ndarray) -> np.ndarray:
 def make_trajectory(
     n_frames: int, dt: float = 0.05, kind: str = "arc"
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (r_wc (T,3,3), c_w (T,3)): smooth sideways arc with slight
-    yaw, good parallax against the room walls. Pure numpy (no device
-    roundtrips — the TPU tunnel makes per-call syncs expensive)."""
+    """Returns (r_wc (T,3,3), c_w (T,3)). Pure numpy (no device
+    roundtrips — the TPU tunnel makes per-call syncs expensive).
+
+    kinds:
+      * "arc" — smooth sideways arc with slight yaw, good parallax
+        against the room walls;
+      * "circuit" — closed loop that returns EXACTLY to the start pose at
+        80% of the frames and re-traverses the beginning (for loop-closure
+        tests; drift accumulates around the circuit, closure on revisit).
+    """
     ts = np.arange(n_frames) * dt
+    if kind == "circuit":
+        period = 0.8 * (n_frames - 1) * dt
+        th = 2 * np.pi * ts / period
+        cs = np.stack(
+            [
+                1.4 * np.sin(th),
+                0.25 * np.sin(2 * th),
+                0.9 * (1 - np.cos(th)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        yaw = 0.25 * np.sin(th)
+        pitch = 0.08 * np.sin(2 * th + 0.3)
+        rs = [
+            _rodrigues_np(np.array([p, y, 0.0])) for y, p in zip(yaw, pitch)
+        ]
+        return np.stack(rs).astype(np.float32), cs
     cs = np.stack(
         [
             1.2 * np.sin(0.5 * ts),
@@ -342,6 +366,7 @@ def make_sequence(
     dt: float = 0.05,
     cache_dir: str = "/root/repo/.synth_cache",
     with_depth: bool = False,
+    kind: str = "arc",
 ):
     """Rendered sequence with disk caching (rendering is jitted and batched;
     a cached 60-frame 752x480 sequence loads in <1s). with_depth=True
@@ -352,9 +377,10 @@ def make_sequence(
         fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
     )
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"seq_v3_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}"
+    kind_tag = "" if kind == "arc" else f"_{kind}"
+    tag = f"seq_v3_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}{kind_tag}"
     path = os.path.join(cache_dir, tag + ".npz")
-    r_wc, c_w = make_trajectory(n_frames, dt)
+    r_wc, c_w = make_trajectory(n_frames, dt, kind=kind)
     if os.path.exists(path):
         data = np.load(path)
         stack = data["images"]  # decompress ONCE
@@ -400,3 +426,52 @@ def make_sequence(
     if with_depth:
         return seq, depths
     return seq
+
+
+def make_stereo_sequence(
+    n_frames: int = 60,
+    cam: PinholeCamera | None = None,
+    seed: int = 0,
+    dt: float = 0.05,
+    baseline: float = 0.11,
+    cache_dir: str = "/root/repo/.synth_cache",
+):
+    """Rendered rectified stereo sequence: returns (SyntheticSequence for
+    the LEFT camera, list of right images). The right camera sits at
+    +baseline along the left camera's x axis with identical orientation
+    (rectified geometry, like the reference's EuRoC stereo setup)."""
+    import os
+
+    cam = cam or PinholeCamera(
+        fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
+    )
+    seq = make_sequence(n_frames, cam=cam, seed=seed, dt=dt, cache_dir=cache_dir)
+    tag = f"stereoR_v1_{n_frames}_{seed}_{dt}_{baseline}_{cam.width}x{cam.height}_{cam.fx}"
+    path = os.path.join(cache_dir, tag + ".npz")
+    # right camera centers: c + r_wc @ [b,0,0]
+    offs = np.einsum("tij,j->ti", seq.r_wc, np.array([baseline, 0, 0], np.float32))
+    c_r = seq.c_w + offs
+    if os.path.exists(path):
+        stack = np.load(path)["images"]
+        right = [stack[i] for i in range(n_frames)]
+    else:
+        import jax
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            planes = default_room(seed)
+            arrays = _stack_planes(planes)
+            fn = _get_render_fn(cam)
+            batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
+            chunk = 10
+            outs = []
+            for s in range(0, n_frames, chunk):
+                e = min(s + chunk, n_frames)
+                idx = list(range(s, e)) + [e - 1] * (chunk - (e - s))
+                img, _ = batched(
+                    np.asarray(seq.r_wc[idx]), np.asarray(c_r[idx]), arrays
+                )
+                outs.append(np.asarray(img)[: e - s])
+        right = [im for o in outs for im in o]
+        np.savez_compressed(path, images=np.stack(right))
+    return seq, right

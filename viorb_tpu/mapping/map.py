@@ -26,6 +26,10 @@ import numpy as np
 from viorb_tpu.imu.navstate import NavState
 
 
+# Observation slots per point. 16 covers the BA window (10 KFs) plus
+# anchors; a landmark observed by more keyframes than this keeps its BA
+# constraints through the newest window anyway. Overflow is counted on the
+# store (obs_overflow) and warned once — see add_observation.
 MAX_OBS_PER_POINT = 16
 
 
@@ -43,6 +47,8 @@ class KeyFrameData:
     desc01: np.ndarray  # (N,256) uint8
     valid: np.ndarray  # (N,) bool
     point_idx: np.ndarray  # (N,) int32 map-point id per feature (-1 none)
+    # stereo: right-image u per feature (-1 = no stereo match)
+    ur: Optional[np.ndarray] = None
     # VI state (filled post VI-init; reference KeyFrame NavState)
     nav: Optional[dict] = None
     imu_t0: float = 0.0
@@ -79,6 +85,11 @@ class MapStore:
         self.obs_feat = np.full((max_points, MAX_OBS_PER_POINT), -1, np.int32)
         self._next_pt = 0
         self._free_pts: List[int] = []
+        self.obs_overflow = 0  # observations dropped on full slot rows
+        # map-update epoch: bumped after every mapping write-back; readers
+        # compare epochs instead of polling flags (reference
+        # GetMapUpdateFlagForTracking, src/Tracking.cc:896-906)
+        self.version = 0
 
     # -- keyframes ---------------------------------------------------------
 
@@ -129,6 +140,16 @@ class MapStore:
             return True
         free = np.nonzero(slots < 0)[0]
         if len(free) == 0:
+            self.obs_overflow += 1
+            if self.obs_overflow in (1, 1000):
+                import sys
+
+                print(
+                    f"[map] observation slots full on point {pt} "
+                    f"({self.obs_overflow} overflow(s) so far, "
+                    f"cap {MAX_OBS_PER_POINT})",
+                    file=sys.stderr,
+                )
             return False
         s = free[0]
         self.obs_kf[pt, s] = kf_id
@@ -165,6 +186,35 @@ class MapStore:
 
     def n_obs(self, pt: int) -> int:
         return int((self.obs_kf[pt] >= 0).sum())
+
+    def replace_point(self, old: int, new: int):
+        """Merge `old` into `new` (reference MapPoint::Replace,
+        include/MapPoint.h:64): every observation of old re-points to new
+        (where new has no observation in that keyframe yet and a free
+        slot), found/visible counters merge, old dies."""
+        if old == new or not self.pt_active[old] or not self.pt_active[new]:
+            return
+        for s in range(MAX_OBS_PER_POINT):
+            kf_id = int(self.obs_kf[old, s])
+            if kf_id < 0 or kf_id not in self.keyframes:
+                continue
+            fi = int(self.obs_feat[old, s])
+            kf = self.keyframes[kf_id]
+            if (self.obs_kf[new] == kf_id).any():
+                # new already observed there: just clear the feature link
+                if kf.point_idx[fi] == old:
+                    kf.point_idx[fi] = -1
+            else:
+                self.obs_kf[old, s] = -1  # detach before re-adding
+                if not self.add_observation(new, kf_id, fi):
+                    if kf.point_idx[fi] == old:
+                        kf.point_idx[fi] = -1
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_visible[new] += self.pt_visible[old]
+        self.obs_kf[old] = -1
+        self.obs_feat[old] = -1
+        self.pt_active[old] = False
+        self._free_pts.append(old)
 
     def active_point_ids(self) -> np.ndarray:
         return np.nonzero(self.pt_active[: self._next_pt])[0]
@@ -286,3 +336,26 @@ class MapStore:
         inv_sigma2[:n] = inv_s2_p
         valid[:n] = valid_p
         return kf_list, pts, kf_idx, uv, inv_sigma2, valid
+
+    def build_stereo_ur_grid(
+        self, pt_ids: np.ndarray, kf_list: List[int], max_landmarks: int
+    ):
+        """Right-u observation grid slot-aligned with build_ba_problem's
+        output (for the 3-dim stereo BA residual). Returns (ur (M,R) f32,
+        ur_valid (M,R) bool)."""
+        m, r = max_landmarks, MAX_OBS_PER_POINT
+        ur = np.full((m, r), -1.0, np.float32)
+        urv = np.zeros((m, r), bool)
+        if len(pt_ids) == 0:
+            return ur, urv
+        kfm = self.obs_kf[pt_ids]  # (n,R)
+        fm = self.obs_feat[pt_ids]
+        for k in kf_list:
+            kf = self.keyframes.get(k)
+            if kf is None or kf.ur is None:
+                continue
+            rows, slots = np.nonzero(kfm == k)
+            vals = kf.ur[fm[rows, slots]]
+            ur[rows, slots] = vals
+            urv[rows, slots] = vals >= 0
+        return ur, urv

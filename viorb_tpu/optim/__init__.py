@@ -16,6 +16,8 @@ from viorb_tpu.optim.ba import (
     vision_ba_two_phase,
     vi_ba,
     vi_ba_two_phase,
+    vi_ba_gw,
+    vi_ba_gw_two_phase,
 )
 from viorb_tpu.optim.pose_only import (
     PoseObs,

@@ -52,12 +52,26 @@ class BAObservations(NamedTuple):
     kf_idx: (M,R) i32 observing keyframe slot; uv: (M,R,2) undistorted
     pixels; inv_sigma2: (M,R) per-obs information scale (1/sigma^2 from the
     pyramid level, reference Frame::mvInvLevelSigma2); valid: (M,R) bool.
+
+    Stereo (optional, both set together): ur (M,R) right-image u coordinate
+    and ur_valid (M,R) bool — observations with ur_valid get the 3-dim
+    stereo residual (reference EdgeStereoSE3ProjectXYZ).
     """
 
     kf_idx: jax.Array
     uv: jax.Array
     inv_sigma2: jax.Array
     valid: jax.Array
+    ur: Optional[jax.Array] = None
+    ur_valid: Optional[jax.Array] = None
+
+    def chi2_delta2(self):
+        """Per-obs outlier threshold: 5.991 mono / 7.815 stereo."""
+        from viorb_tpu.optim.robust import CHI2_STEREO_3DOF
+
+        if self.ur_valid is None:
+            return CHI2_MONO_2DOF
+        return jnp.where(self.ur_valid, CHI2_STEREO_3DOF, CHI2_MONO_2DOF)
 
     @property
     def m(self) -> int:
@@ -84,28 +98,61 @@ class ViBAState(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _vision_blocks(state: VisionBAState, obs: BAObservations, cam: PinholeCamera):
+def _vision_blocks(
+    state: VisionBAState,
+    obs: BAObservations,
+    cam: PinholeCamera,
+    bf: Optional[jax.Array] = None,
+):
     """Residuals + Jacobians on the (M,R) grid for Tcw poses.
 
-    Returns r (M,R,2), Jp (M,R,2,6), Jl (M,R,2,3).
-    """
+    Returns r (M,R,C), Jp (M,R,C,6), Jl (M,R,C,3) with C=2 (mono) or
+    C=3 (stereo problems: third component is the u_r residual, zeroed for
+    observations without a stereo match)."""
     r_cw = state.r_cw[obs.kf_idx]  # (M,R,3,3)
     t_cw = state.t_cw[obs.kf_idx]
-
-    def res(dp, dl, R, t, pw, uv):
-        return reproj_residual_tcw(dp, R, t, pw + dl, uv, cam)
 
     z6 = jnp.zeros(6, jnp.float32)
     z3 = jnp.zeros(3, jnp.float32)
 
-    def per_obs(R, t, pw, uv):
-        r = res(z6, z3, R, t, pw, uv)
-        Jp = jax.jacfwd(res, argnums=0)(z6, z3, R, t, pw, uv)
-        Jl = jax.jacfwd(res, argnums=1)(z6, z3, R, t, pw, uv)
+    if obs.ur is None:
+
+        def res(dp, dl, R, t, pw, uv):
+            return reproj_residual_tcw(dp, R, t, pw + dl, uv, cam)
+
+        def per_obs(R, t, pw, uv):
+            r = res(z6, z3, R, t, pw, uv)
+            Jp = jax.jacfwd(res, argnums=0)(z6, z3, R, t, pw, uv)
+            Jl = jax.jacfwd(res, argnums=1)(z6, z3, R, t, pw, uv)
+            return r, Jp, Jl
+
+        f = jax.vmap(
+            jax.vmap(per_obs, in_axes=(0, 0, None, 0)), in_axes=(0, 0, 0, 0)
+        )
+        return f(r_cw, t_cw, state.points, obs.uv)
+
+    from viorb_tpu.optim.reprojection import reproj_residual_stereo_tcw
+
+    bf = jnp.float32(0.0) if bf is None else bf
+    uvr = jnp.concatenate([obs.uv, obs.ur[..., None]], axis=-1)
+
+    def res_s(dp, dl, R, t, pw, uvr, smask):
+        r = reproj_residual_stereo_tcw(dp, R, t, pw + dl, uvr, cam, bf)
+        # mask the u_r component where there is no stereo match: constant
+        # wrt delta, so residual and Jacobian stay consistent
+        return r * jnp.array([1.0, 1.0, 0.0]) + r * jnp.array([0.0, 0.0, 1.0]) * smask
+
+    def per_obs_s(R, t, pw, uvr, smask):
+        r = res_s(z6, z3, R, t, pw, uvr, smask)
+        Jp = jax.jacfwd(res_s, argnums=0)(z6, z3, R, t, pw, uvr, smask)
+        Jl = jax.jacfwd(res_s, argnums=1)(z6, z3, R, t, pw, uvr, smask)
         return r, Jp, Jl
 
-    f = jax.vmap(jax.vmap(per_obs, in_axes=(0, 0, None, 0)), in_axes=(0, 0, 0, 0))
-    return f(r_cw, t_cw, state.points, obs.uv)
+    smask = obs.ur_valid.astype(jnp.float32)
+    f = jax.vmap(
+        jax.vmap(per_obs_s, in_axes=(0, 0, None, 0, 0)), in_axes=(0, 0, 0, 0, 0)
+    )
+    return f(r_cw, t_cw, state.points, uvr, smask)
 
 
 def _vi_blocks(
@@ -214,8 +261,8 @@ def _back_substitute(Hll_inv, b_l, U, dx_pose, obs: BAObservations, d: int):
 # ---------------------------------------------------------------------------
 
 
-def _vision_cost_and_chi2(state, obs, cam, delta2):
-    r, _, _ = _vision_blocks(state, obs, cam)
+def _vision_cost_and_chi2(state, obs, cam, delta2, bf=None):
+    r, _, _ = _vision_blocks(state, obs, cam, bf)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
     w = huber_weight(chi2, delta2)
     cost = jnp.sum(jnp.where(obs.valid, chi2 * w, 0.0))
@@ -243,18 +290,20 @@ def vision_ba(
     fixed_kf: jax.Array,  # (K,) bool
     iters: int = 10,
     fixed_lm: Optional[jax.Array] = None,  # (M,) bool
+    bf: Optional[jax.Array] = None,  # () fx*baseline for stereo problems
 ) -> Tuple[VisionBAState, jax.Array]:
     """Levenberg-Marquardt vision bundle adjustment (counterpart of
     Optimizer::LocalBundleAdjustment / BundleAdjustment,
-    src/Optimizer.cc:3980/:3559). Returns (state, final per-obs chi2)."""
+    src/Optimizer.cc:3980/:3559). Returns (state, final per-obs chi2).
+    With stereo observations (obs.ur set), pass bf = fx * baseline."""
     k = state.r_cw.shape[0]
     d = 6
-    delta2 = CHI2_MONO_2DOF
+    delta2 = obs.chi2_delta2()
     fixed_kd = jnp.repeat(fixed_kf, d)
 
     def step(carry, _):
         state, lam = carry
-        r, Jp, Jl = _vision_blocks(state, obs, cam)
+        r, Jp, Jl = _vision_blocks(state, obs, cam, bf)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         hw = huber_weight(chi2, delta2)
         w = obs.inv_sigma2 * hw * obs.valid.astype(r.dtype)
@@ -263,7 +312,7 @@ def vision_ba(
         dx = _solve_reduced(S, b, fixed_kd, lam)
         dl = _back_substitute(Hll_inv, b_l, U, dx, obs, d)
         cand = _apply_vision_update(state, dx, dl, k, fixed_lm)
-        cost1, _ = _vision_cost_and_chi2(cand, obs, cam, delta2)
+        cost1, _ = _vision_cost_and_chi2(cand, obs, cam, delta2, bf)
         accept = cost1 < cost0
         state = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), cand, state
@@ -272,7 +321,7 @@ def vision_ba(
         return (state, lam), cost1
 
     (state, _), _ = jax.lax.scan(step, (state, jnp.float32(1e-4)), None, length=iters)
-    _, chi2 = _vision_cost_and_chi2(state, obs, cam, delta2)
+    _, chi2 = _vision_cost_and_chi2(state, obs, cam, delta2, bf)
     return state, chi2
 
 
@@ -284,13 +333,16 @@ def vision_ba_two_phase(
     iters1: int = 5,
     iters2: int = 5,
     fixed_lm: Optional[jax.Array] = None,
+    bf: Optional[jax.Array] = None,
 ) -> Tuple[VisionBAState, BAObservations]:
     """The reference's two-round scheme: optimize, drop chi2 outliers
-    (5.991 mono), optimize again (src/Optimizer.cc LocalBundleAdjustment)."""
-    state, chi2 = vision_ba(state, obs, cam, fixed_kf, iters1, fixed_lm)
-    obs = obs._replace(valid=obs.valid & (chi2 <= CHI2_MONO_2DOF * 1.5))
-    state, chi2 = vision_ba(state, obs, cam, fixed_kf, iters2, fixed_lm)
-    obs = obs._replace(valid=obs.valid & (chi2 <= CHI2_MONO_2DOF))
+    (5.991 mono / 7.815 stereo), optimize again (src/Optimizer.cc
+    LocalBundleAdjustment)."""
+    delta2 = obs.chi2_delta2()
+    state, chi2 = vision_ba(state, obs, cam, fixed_kf, iters1, fixed_lm, bf)
+    obs = obs._replace(valid=obs.valid & (chi2 <= delta2 * 1.5))
+    state, chi2 = vision_ba(state, obs, cam, fixed_kf, iters2, fixed_lm, bf)
+    obs = obs._replace(valid=obs.valid & (chi2 <= delta2))
     return state, obs
 
 
@@ -491,3 +543,208 @@ def vi_ba_two_phase(
     )
     obs = obs._replace(valid=obs.valid & (chi2 <= CHI2_MONO_2DOF))
     return state, obs
+
+
+# ---------------------------------------------------------------------------
+# visual-inertial BA with free gravity direction (the post-init global BA)
+# ---------------------------------------------------------------------------
+
+
+def _gravity_basis(g: jax.Array) -> jax.Array:
+    """(3,2) orthonormal basis perpendicular to g: rotating g about these
+    axes spans the 2-DoF direction manifold while |g| stays fixed (the
+    reference's VertexGravityW, src/IMU/g2otypes.h:358-393)."""
+    gn = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+    # pick the coordinate axis least aligned with g to seed the basis
+    seed = jnp.eye(3, dtype=g.dtype)[jnp.argmin(jnp.abs(gn))]
+    b1 = jnp.cross(gn, seed)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(gn, b1)
+    return jnp.stack([b1, b2], axis=-1)
+
+
+def _vi_imu_system_gw(nav: NavState, chain: ImuChain, gravity, basis, k: int):
+    """Like _vi_imu_system but the preintegration residual is also a
+    function of a 2-DoF gravity-direction increment dg:
+    g(dg) = Exp(basis @ dg) g. Returns (H (k,k,15,15), g_rhs (k,15),
+    C (k,15,2) pose-gravity coupling, Hgg (2,2), g_g (2,))."""
+    d = 15
+    km1 = k - 1
+    idx_i = jnp.arange(km1)
+    idx_j = idx_i + 1
+
+    ns_i = jax.tree.map(lambda x: x[:-1], nav)
+    ns_j = jax.tree.map(lambda x: x[1:], nav)
+
+    cov_safe = jnp.where(
+        chain.valid[:, None, None], chain.pre.cov, jnp.eye(9, dtype=jnp.float32)
+    )
+    Lt = whitener_from_cov(cov_safe)
+
+    z15 = jnp.zeros(15, jnp.float32)
+    z9 = jnp.zeros(9, jnp.float32)
+    z2 = jnp.zeros(2, jnp.float32)
+
+    from viorb_tpu.geometry.so3 import exp_so3
+
+    def edge(ns_i, ns_j, pre, Lt):
+        def wres(di, dj9, dg):
+            gvec = exp_so3(basis @ dg) @ gravity
+            return Lt @ preint_residual(di, dj9, ns_i, ns_j, pre, gvec)
+
+        r = wres(z15, z9, z2)
+        Ji = jax.jacfwd(wres, argnums=0)(z15, z9, z2)  # (9,15)
+        Jj9 = jax.jacfwd(wres, argnums=1)(z15, z9, z2)  # (9,9)
+        Jg = jax.jacfwd(wres, argnums=2)(z15, z9, z2)  # (9,2)
+        Jj = jnp.concatenate([Jj9, jnp.zeros((9, 6), jnp.float32)], axis=-1)
+        return r, Ji, Jj, Jg
+
+    r, Ji, Jj, Jg = jax.vmap(edge)(ns_i, ns_j, chain.pre, Lt)
+
+    chi2 = jnp.sum(r * r, axis=-1)
+    hw = huber_weight(chi2, CHI2_VI_9DOF)
+    w = (hw * chain.valid.astype(r.dtype))[:, None]
+    wJi = Ji * w[..., None]
+    wJj = Jj * w[..., None]
+    wJg = Jg * w[..., None]
+
+    # bias random-walk edges (gravity-independent)
+    def bedge(ns_i, ns_j):
+        def bres(di, dj):
+            return bias_walk_residual(di, dj, ns_i, ns_j)
+
+        rb = bres(z15, z15)
+        Bi = jax.jacfwd(bres, argnums=0)(z15, z15)
+        Bj = jax.jacfwd(bres, argnums=1)(z15, z15)
+        return rb, Bi, Bj
+
+    rb, Bi, Bj = jax.vmap(bedge)(ns_i, ns_j)
+    binfo = chain.bias_cov_inv_diag[None, :] * chain.valid[:, None].astype(r.dtype)
+
+    H = jnp.zeros((k, k, d, d), jnp.float32)
+    g_rhs = jnp.zeros((k, d), jnp.float32)
+    C = jnp.zeros((k, d, 2), jnp.float32)
+
+    H = H.at[idx_i, idx_i].add(jnp.einsum("eci,ecj->eij", wJi, Ji))
+    H = H.at[idx_i, idx_j].add(jnp.einsum("eci,ecj->eij", wJi, Jj))
+    H = H.at[idx_j, idx_i].add(jnp.einsum("eci,ecj->eij", wJj, Ji))
+    H = H.at[idx_j, idx_j].add(jnp.einsum("eci,ecj->eij", wJj, Jj))
+    g_rhs = g_rhs.at[idx_i].add(-jnp.einsum("eci,ec->ei", wJi, r))
+    g_rhs = g_rhs.at[idx_j].add(-jnp.einsum("eci,ec->ei", wJj, r))
+
+    C = C.at[idx_i].add(jnp.einsum("eci,ecg->eig", wJi, Jg))
+    C = C.at[idx_j].add(jnp.einsum("eci,ecg->eig", wJj, Jg))
+    Hgg = jnp.einsum("ecg,ech->gh", wJg, Jg)
+    g_g = -jnp.einsum("ecg,ec->g", wJg, r)
+
+    H = H.at[idx_i, idx_i].add(jnp.einsum("eci,ec,ecj->eij", Bi, binfo, Bi))
+    H = H.at[idx_i, idx_j].add(jnp.einsum("eci,ec,ecj->eij", Bi, binfo, Bj))
+    H = H.at[idx_j, idx_i].add(jnp.einsum("eci,ec,ecj->eij", Bj, binfo, Bi))
+    H = H.at[idx_j, idx_j].add(jnp.einsum("eci,ec,ecj->eij", Bj, binfo, Bj))
+    g_rhs = g_rhs.at[idx_i].add(-jnp.einsum("eci,ec,ec->ei", Bi, binfo, rb))
+    g_rhs = g_rhs.at[idx_j].add(-jnp.einsum("eci,ec,ec->ei", Bj, binfo, rb))
+
+    return H, g_rhs, C, Hgg, g_g
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def vi_ba_gw(
+    state: ViBAState,
+    obs: BAObservations,
+    cam: PinholeCamera,
+    ext: Extrinsics,
+    chain: ImuChain,
+    gravity: jax.Array,
+    fixed_kf: jax.Array,
+    iters: int = 15,
+    fixed_lm: Optional[jax.Array] = None,
+) -> Tuple[ViBAState, jax.Array, jax.Array]:
+    """Visual-inertial global BA with a FREE 2-DoF gravity-direction vertex
+    (counterpart of Optimizer::GlobalBundleAdjustmentNavStateWithGw,
+    src/Optimizer.cc:2702-2760 + VertexGravityW src/IMU/g2otypes.h:358-393).
+
+    Run as the post-init GBA: it jointly repairs the residual scale error
+    (IMU edges anchor metric scale while landmarks follow the poses) and the
+    gravity-direction error left by the closed-form VI init.
+
+    Returns (state, refined gravity (3,), final per-obs chi2)."""
+    k = state.nav.p.shape[0]
+    d = 15
+    n = k * d + 2
+    delta2 = CHI2_MONO_2DOF
+    # gauge-fix only P and R of the fixed KFs; their V and biases stay free
+    # (the init's velocity estimate must not be baked into the GBA)
+    pose_dofs = jnp.array([1, 1, 1, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0], bool)
+    fixed_ext = jnp.concatenate(
+        [
+            (jnp.repeat(fixed_kf, d) & jnp.tile(pose_dofs, k)),
+            jnp.zeros(2, bool),
+        ]
+    )
+
+    def step(carry, _):
+        state, gravity, lam = carry
+        basis = _gravity_basis(gravity)
+        r, Jp, Jl = _vi_blocks(state, obs, cam, ext)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        hw = huber_weight(chi2, delta2)
+        w = obs.inv_sigma2 * hw * obs.valid.astype(r.dtype)
+        S, b, Hll_inv, b_l, U = _schur_system(r, Jp, Jl, w, obs, k, d, lam)
+        Himu, gimu, Cg, Hgg, gg = _vi_imu_system_gw(
+            state.nav, chain, gravity, basis, k
+        )
+        S = S + Himu.transpose(0, 2, 1, 3).reshape(k * d, k * d)
+        b = b + gimu.reshape(k * d)
+        # augmented system [[S, C], [C^T, Hgg]]
+        Cflat = Cg.reshape(k * d, 2)
+        A = jnp.zeros((n, n), jnp.float32)
+        A = A.at[: k * d, : k * d].set(S)
+        A = A.at[: k * d, k * d :].set(Cflat)
+        A = A.at[k * d :, : k * d].set(Cflat.T)
+        A = A.at[k * d :, k * d :].set(Hgg)
+        rhs = jnp.concatenate([b, gg])
+        cost0, _ = _vi_cost(state, obs, cam, ext, chain, gravity, delta2)
+        dx = _solve_reduced(A, rhs, fixed_ext, lam)
+        dx_pose, dg = dx[: k * d], dx[k * d :]
+        dl = _back_substitute(Hll_inv, b_l, U, dx_pose, obs, d)
+        cand = _apply_vi_update(state, dx_pose, dl, k, fixed_lm)
+        from viorb_tpu.geometry.so3 import exp_so3
+
+        g_cand = exp_so3(basis @ dg) @ gravity
+        cost1, _ = _vi_cost(cand, obs, cam, ext, chain, g_cand, delta2)
+        accept = cost1 < cost0
+        state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, state)
+        gravity = jnp.where(accept, g_cand, gravity)
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.5, 1e-6), jnp.minimum(lam * 4.0, 1e4)
+        )
+        return (state, gravity, lam), cost1
+
+    (state, gravity, _), _ = jax.lax.scan(
+        step, (state, gravity, jnp.float32(1e-4)), None, length=iters
+    )
+    _, chi2 = _vi_cost(state, obs, cam, ext, chain, gravity, delta2)
+    return state, gravity, chi2
+
+
+def vi_ba_gw_two_phase(
+    state: ViBAState,
+    obs: BAObservations,
+    cam: PinholeCamera,
+    ext: Extrinsics,
+    chain: ImuChain,
+    gravity: jax.Array,
+    fixed_kf: jax.Array,
+    iters1: int = 12,
+    iters2: int = 8,
+    fixed_lm: Optional[jax.Array] = None,
+) -> Tuple[ViBAState, jax.Array, BAObservations]:
+    state, gravity, chi2 = vi_ba_gw(
+        state, obs, cam, ext, chain, gravity, fixed_kf, iters1, fixed_lm
+    )
+    obs = obs._replace(valid=obs.valid & (chi2 <= CHI2_MONO_2DOF * 1.5))
+    state, gravity, chi2 = vi_ba_gw(
+        state, obs, cam, ext, chain, gravity, fixed_kf, iters2, fixed_lm
+    )
+    obs = obs._replace(valid=obs.valid & (chi2 <= CHI2_MONO_2DOF))
+    return state, gravity, obs

@@ -73,6 +73,28 @@ def reproj_residual_navstate(
     return project(cam, pc) - uv
 
 
+def reproj_residual_stereo_tcw(
+    delta: jax.Array,  # (6,) local increment (rho, phi)
+    r_cw: jax.Array,
+    t_cw: jax.Array,
+    p_w: jax.Array,  # (3,) landmark
+    uvr: jax.Array,  # (3,) observation (u_left, v_left, u_right)
+    cam: PinholeCamera,
+    bf: jax.Array,  # () fx * baseline
+) -> jax.Array:
+    """3-dim stereo residual (u_l, v_l, u_r) with u_r = u_l - bf/z
+    (reference: EdgeStereoSE3ProjectXYZ,
+    Thirdparty/g2o/g2o/types/types_six_dof_expmap.cpp cam_project with bf)."""
+    rho, phi = delta[:3], delta[3:]
+    dR = exp_so3(phi)
+    R = dR @ r_cw
+    t = (dR @ t_cw) + rho
+    pc = R @ p_w + t
+    uv = project(cam, pc)
+    ur = uv[0] - bf / jnp.maximum(pc[2], 1e-6)
+    return jnp.concatenate([uv - uvr[:2], (ur - uvr[2])[None]])
+
+
 def point_depth_tcw(r_cw, t_cw, p_w) -> jax.Array:
     return (r_cw @ p_w + t_cw)[..., 2]
 

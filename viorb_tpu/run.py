@@ -11,7 +11,7 @@ Usage:
   python -m viorb_tpu.run --dataset synthetic --frames 60 --out traj.txt
   python -m viorb_tpu.run --dataset tum --path <seq_dir> --config cfg.yaml
   python -m viorb_tpu.run --dataset euroc --path <seq_dir> --config cfg.yaml --vi
-  python -m viorb_tpu.run --dataset kitti --path <seq_dir> --config cfg.yaml
+  python -m viorb_tpu.run --dataset kitti --path <seq_dir> --config cfg.yaml --stereo
 """
 
 from __future__ import annotations
@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--path", help="dataset sequence directory")
     ap.add_argument("--config", help="settings YAML (reference schema)")
     ap.add_argument("--vi", action="store_true", help="visual-inertial mode")
+    ap.add_argument("--stereo", action="store_true", help="stereo mode")
+    ap.add_argument("--baseline", type=float, default=0.11,
+                    help="stereo baseline (m) when the config has no Camera.bf")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--out-kf", default=None)
@@ -59,10 +62,21 @@ def main(argv=None):
 
     # frame source
     imu_stream = None
+    right_paths = None
+    right_images = None
     if args.dataset == "synthetic":
-        from viorb_tpu.io.synthetic import make_imu, make_sequence
+        from viorb_tpu.io.synthetic import (
+            make_imu,
+            make_sequence,
+            make_stereo_sequence,
+        )
 
-        seq = make_sequence(n_frames=args.frames, dt=0.1)
+        if args.stereo:
+            seq, right_images = make_stereo_sequence(
+                n_frames=args.frames, dt=0.1, baseline=args.baseline
+            )
+        else:
+            seq = make_sequence(n_frames=args.frames, dt=0.1)
         frames = list(zip(seq.timestamps.tolist(), seq.images))
         cfg.camera = seq.cam
         if args.vi:
@@ -73,18 +87,30 @@ def main(argv=None):
 
         frames = list(load_tum_mono(args.path))
     elif args.dataset == "euroc":
-        from viorb_tpu.io.datasets import load_euroc_imu, load_euroc_mono
+        from viorb_tpu.io.datasets import (
+            load_euroc_imu,
+            load_euroc_mono,
+            load_euroc_stereo,
+        )
 
-        frames = list(load_euroc_mono(args.path))
+        if args.stereo:
+            left, right_paths = load_euroc_stereo(args.path)
+            frames = list(left)
+        else:
+            frames = list(load_euroc_mono(args.path))
         if args.vi:
             t, g, a = load_euroc_imu(args.path)
             if cfg.multiply_g:
                 a = a * 9.80665
             imu_stream = (t, g, a)
     else:
-        from viorb_tpu.io.datasets import load_kitti_mono
+        from viorb_tpu.io.datasets import load_kitti_mono, load_kitti_stereo
 
-        frames = list(load_kitti_mono(args.path))
+        if args.stereo:
+            left, right_paths = load_kitti_stereo(args.path)
+            frames = list(left)
+        else:
+            frames = list(load_kitti_mono(args.path))
 
     # system
     if args.vi:
@@ -97,6 +123,17 @@ def main(argv=None):
             n_features=n_features,
             local_window=cfg.local_window,
             vi_init_min_time=min(cfg.vins_init_time, 3.0),
+        )
+    elif args.stereo:
+        from viorb_tpu.slam.stereo import StereoSlam
+
+        baseline = (cfg.bf / cfg.camera.fx) if cfg.bf > 0 else args.baseline
+        slam = StereoSlam(
+            cfg.camera,
+            baseline=baseline,
+            depth_factor=cfg.depth_th_factor,
+            n_features=n_features,
+            local_window=cfg.local_window,
         )
     else:
         from viorb_tpu.slam.mono import MonoSlam
@@ -116,6 +153,14 @@ def main(argv=None):
                 (float(t_), g_, a_) for t_, g_, a_ in zip(it[sel], ig[sel], ia[sel])
             ]
             info = slam.process_frame_vi(img, float(ts), samples)
+        elif args.stereo:
+            if right_images is not None:
+                img_r = right_images[i]
+            else:
+                from viorb_tpu.io.datasets import _load_gray
+
+                img_r = _load_gray(right_paths[i])
+            info = slam.process_frame_stereo(img, img_r, float(ts))
         else:
             info = slam.process_frame(img, float(ts))
         times.append(time.perf_counter() - t0)

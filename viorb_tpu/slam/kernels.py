@@ -141,3 +141,110 @@ def match_for_triangulation(
 def project_depth(r_cw, t_cw, xyz, cam: PinholeCamera):
     pc = xyz @ r_cw.T + t_cw
     return project(cam, pc), pc[:, 2]
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def match_stereo(
+    xy_l: jax.Array,  # (Nl,2) left keypoints (undistorted/rectified)
+    desc_l: jax.Array,  # (Nl,256) {-1,1} bf16
+    valid_l: jax.Array,
+    level_l: jax.Array,  # (Nl,)
+    xy_r: jax.Array,  # (Nr,2) right keypoints
+    desc_r: jax.Array,
+    valid_r: jax.Array,
+    level_r: jax.Array,
+    min_disp: jax.Array,  # ()
+    max_disp: jax.Array,  # ()
+    max_dist: float = 50.0,
+):
+    """Rectified stereo matching: one masked Hamming matmul over all
+    left x right pairs, gated to the same scan line (row window grows with
+    pyramid level) and a disparity range (the TPU reshape of
+    Frame::ComputeStereoMatches, reference src/Frame.cc:646 — which walks
+    per-row candidate lists; here the full gate matrix is one fused op).
+
+    Returns (ur (Nl,) f32 right u per left feature, matched (Nl,) bool)."""
+    row_tol = 2.0 * jnp.power(1.2, level_l.astype(jnp.float32))  # (Nl,)
+    dv = jnp.abs(xy_l[:, None, 1] - xy_r[None, :, 1])
+    disp = xy_l[:, None, 0] - xy_r[None, :, 0]
+    dlev = jnp.abs(level_l[:, None] - level_r[None, :])
+    gate = (
+        valid_l[:, None]
+        & valid_r[None, :]
+        & (dv <= row_tol[:, None])
+        & (disp >= min_disp)
+        & (disp <= max_disp)
+        & (dlev <= 1)
+    )
+    d = hamming_matrix(desc_l, desc_r)
+    res = match_with_mask(d, gate, max_dist=max_dist, ratio=0.9, mutual=True)
+    matched = res.idx >= 0
+    ur = jnp.where(matched, xy_r[jnp.maximum(res.idx, 0), 0], -1.0)
+    return ur, matched
+
+
+_SUBPIX_HALF = 5  # 11x11 SAD window
+_SUBPIX_SEARCH = 3  # +-3 px around the descriptor match
+
+
+@jax.jit
+def refine_stereo_subpixel(
+    img_l: jax.Array,  # (H,W) f32 left image (rectified)
+    img_r: jax.Array,  # (H,W) f32 right image
+    xy_l: jax.Array,  # (N,2) left keypoints
+    ur0: jax.Array,  # (N,) integer-keypoint right u from match_stereo
+    matched: jax.Array,  # (N,) bool
+):
+    """Subpixel disparity: SAD of an 11x11 patch over +-3 px around the
+    matched right column, parabola fit on the minimum (the reference's
+    correlation refinement inside Frame::ComputeStereoMatches,
+    src/Frame.cc:646 — there SAD runs on pyramid level patches with a
+    +-5 window and parabola interpolation).
+
+    Keypoint disparities are integer-quantized (~0.5 px) which is 5-10%
+    depth error at far range; this brings it to ~0.1 px. Per-keypoint
+    dynamic-slice patches keep the op K*patch-sized (TPU-friendly; see
+    features/orb.py extract_patches note).
+
+    Returns refined ur (N,) f32 (-1 where unmatched)."""
+    h = _SUBPIX_HALF
+    s = _SUBPIX_SEARCH
+    win = 2 * h + 1
+    pad = h + s + 1
+    pl = jnp.pad(img_l, pad, mode="edge")
+    pr = jnp.pad(img_r, pad, mode="edge")
+
+    yy = jnp.round(xy_l[:, 1]).astype(jnp.int32) + pad
+    xl = jnp.round(xy_l[:, 0]).astype(jnp.int32) + pad
+    xr = jnp.round(ur0).astype(jnp.int32) + pad
+
+    def one(y, xl_i, xr_i):
+        patch_l = jax.lax.dynamic_slice(pl, (y - h, xl_i - h), (win, win))
+        wide_r = jax.lax.dynamic_slice(
+            pr, (y - h, xr_i - h - s), (win, win + 2 * s)
+        )
+        # 2s+1 shifted views of the wide right patch -> SAD profile
+        sads = jnp.stack(
+            [
+                jnp.sum(jnp.abs(patch_l - wide_r[:, d : d + win]))
+                for d in range(2 * s + 1)
+            ]
+        )
+        return sads
+
+    sads = jax.vmap(one)(yy, xl, xr)  # (N, 2s+1)
+    best = jnp.argmin(sads, axis=1)
+    interior = (best > 0) & (best < 2 * s)
+    bi = jnp.clip(best, 1, 2 * s - 1)
+    idx = jnp.arange(sads.shape[0])
+    s0 = sads[idx, bi]
+    sm = sads[idx, bi - 1]
+    sp = sads[idx, bi + 1]
+    denom = sm - 2.0 * s0 + sp
+    frac = jnp.where(
+        jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / jnp.maximum(denom, 1e-6), 0.0
+    )
+    frac = jnp.clip(frac, -1.0, 1.0)
+    off = jnp.where(interior, bi.astype(jnp.float32) - s + frac, 0.0)
+    ur = jnp.round(ur0) + off
+    return jnp.where(matched, ur, -1.0)

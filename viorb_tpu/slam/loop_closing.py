@@ -32,6 +32,8 @@ class LoopCloser:
         min_matches: int = 20,
         covis_consistency: int = 3,
         key=None,
+        cam=None,
+        min_confirm_matches: int = 40,
     ):
         self.map = map_store
         self.vocab = vocab
@@ -41,6 +43,11 @@ class LoopCloser:
         self._consistency: Dict[int, int] = {}  # candidate group anchor -> count
         self.key = key if key is not None else jax.random.PRNGKey(7)
         self.loops_closed = 0
+        self.cam = cam  # enables guided-projection confirm + Sim3 refine
+        self.min_confirm_matches = min_confirm_matches
+        # post-loop global BA callback, set by the owning pipeline
+        # (reference RunGlobalBundleAdjustment, src/LoopClosing.cc:674-819)
+        self.gba_fn = None
 
     # -- bookkeeping -------------------------------------------------------
 
@@ -130,13 +137,82 @@ class LoopCloser:
         )
         if not bool(out.success):
             return None
-        # S_12: maps candidate-camera coords -> current-camera coords
-        return (
-            float(out.s),
-            np.asarray(out.r),
-            np.asarray(out.t),
-            int(np.asarray(out.inliers).sum()),
+        s12 = float(out.s)
+        r12 = np.asarray(out.r)
+        t12 = np.asarray(out.t)
+        n_inl = int(np.asarray(out.inliers).sum())
+        if self.cam is None:
+            return (s12, r12, t12, n_inl)
+
+        # Sim3 refinement on the matched pairs by two-way reprojection
+        # (reference OptimizeSim3, src/Optimizer.cc:4589)
+        from viorb_tpu.optim.sim3_refine import optimize_sim3_reproj
+
+        uv1 = np.zeros((cap, 2), np.float32)
+        uv2 = np.zeros((cap, 2), np.float32)
+        nn = min(n, cap)
+        uv1[:nn] = kf.xy[m1[:nn]]
+        uv2[:nn] = cd.xy[m2[:nn]]
+        s_r, r_r, t_r, inl = optimize_sim3_reproj(
+            jnp.float32(s12), jnp.asarray(r12), jnp.asarray(t12),
+            jnp.asarray(p1), jnp.asarray(uv1), jnp.asarray(p2),
+            jnp.asarray(uv2), jnp.asarray(v), self.cam,
         )
+        n_ref = int(np.asarray(inl).sum())
+        if n_ref < self.min_matches:
+            return None
+        s12, r12, t12 = float(s_r), np.asarray(r_r), np.asarray(t_r)
+
+        # guided-projection confirmation: project the candidate
+        # neighborhood's map points through S12 into the current keyframe
+        # and count total agreeing matches (reference ComputeSim3's
+        # SearchByProjection confirm requiring >=40, src/LoopClosing.cc:255-420)
+        n_proj = self._confirm_by_projection(kf, cand_id, s12, r12, t12)
+        if n_proj < self.min_confirm_matches:
+            return None
+        return (s12, r12, t12, n_proj)
+
+    def _confirm_by_projection(self, kf, cand_id: int, s12, r12, t12) -> int:
+        """Count map points of the candidate's covisibility group that
+        project (through S12) onto matching features of the current KF."""
+        from viorb_tpu.features.matching import hamming_matrix, match_with_mask
+        from viorb_tpu.geometry.camera import in_image_mask, project as cam_project
+
+        group = [cand_id] + [
+            g for g, w in self.map.covisibility_weights(cand_id).items()
+            if w >= 15 and g in self.map.keyframes
+        ]
+        pts = self.map.local_map_points(group)
+        if len(pts) == 0:
+            return 0
+        cap = 1024
+        pts = pts[:cap]
+        cd = self.map.keyframes[cand_id]
+        x_w = self.map.pt_xyz[pts]
+        x_cand = x_w @ cd.r_cw.T + cd.t_cw
+        x_cur = (s12 * (x_cand @ r12.T) + t12).astype(np.float32)
+        depth_ok = x_cur[:, 2] > 0.05
+        uv = np.asarray(cam_project(self.cam, jnp.asarray(x_cur)))
+        in_img = np.asarray(
+            in_image_mask(self.cam, jnp.asarray(uv), margin=1.0)
+        )
+        pvalid = depth_ok & in_img
+        if pvalid.sum() < 10:
+            return 0
+        d_pts = (jnp.asarray(self.map.pt_desc01[pts], jnp.bfloat16) * 2 - 1)
+        d_kf = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
+        dist = hamming_matrix(d_pts, d_kf)
+        d2 = jnp.sum(
+            (jnp.asarray(uv)[:, None, :] - jnp.asarray(kf.xy)[None, :, :]) ** 2,
+            axis=-1,
+        )
+        gate = (
+            jnp.asarray(pvalid)[:, None]
+            & jnp.asarray(kf.valid)[None, :]
+            & (d2 <= 7.5**2)
+        )
+        res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.9, mutual=True)
+        return int((np.asarray(res.idx) >= 0).sum())
 
     # -- correction --------------------------------------------------------
 
@@ -271,6 +347,12 @@ class LoopCloser:
             kf = self.map.keyframes[kf_key]
             kf.r_cw = r_o[i].astype(np.float32)
             kf.t_cw = (t_o[i] / s_o[i]).astype(np.float32)
+        # post-loop global BA (reference RunGlobalBundleAdjustment,
+        # src/LoopClosing.cc:674-819; spanning-tree propagation is not
+        # needed here — mapping jobs are serialized, so no keyframes are
+        # created while the GBA runs)
+        if self.gba_fn is not None:
+            self.gba_fn(cand_id)
         self.loops_closed += 1
         return True
 

@@ -3,10 +3,20 @@ SURVEY.md §7 step 5).
 
 Host orchestration of the jitted kernels: plays the role of the
 reference's Tracking + LocalMapping threads (reference: src/Tracking.cc
-Track state machine at :883-1223, src/LocalMapping.cc:1019-1135) but in
-deterministic lock-step (the reference's non-realtime mode,
-Examples/ROS/ORB_VIO/src/ros_vio.cc:263-276): each frame is tracked, and
-keyframe insertion runs the mapping step synchronously.
+Track state machine at :883-1223, src/LocalMapping.cc:1019-1135).
+
+Two execution modes:
+  * lock-step (default): each frame is tracked and keyframe insertion
+    runs the mapping step synchronously — the reference's deterministic
+    non-realtime mode (Examples/ROS/ORB_VIO/src/ros_vio.cc:263-276);
+  * async (async_mapping=True): mapping (triangulation + local BA +
+    culling) runs on a worker thread so tracking never blocks on keyframe
+    insertion — the reference's LocalMapping thread
+    (src/System.cc:240-271). Tracking reads map SNAPSHOTS under a short
+    lock; the expensive BA solve runs outside the lock on immutable
+    arrays; a pending new keyframe aborts the BA refinement phase (the
+    reference's mbAbortBA, src/LocalMapping.cc:1137-1142). The map-update
+    epoch (map.version) replaces the reference's update flags.
 
 The map lives in MapStore (host); per-frame compute — feature extraction,
 projection matching, pose LM, triangulation matching, windowed BA — runs
@@ -15,6 +25,8 @@ as fixed-shape jitted device programs.
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -60,6 +72,8 @@ class FrameRecord:
     r_cw: Optional[np.ndarray] = None
     t_cw: Optional[np.ndarray] = None
     point_idx: Optional[np.ndarray] = None  # (N,) map point per feature
+    ur: Optional[np.ndarray] = None  # (N,) stereo right-u (-1 none)
+    depth: Optional[np.ndarray] = None  # (N,) stereo/RGB-D depth (-1 none)
 
 
 class MonoSlam:
@@ -77,6 +91,7 @@ class MonoSlam:
         seed: int = 0,
         vocabulary=None,
         enable_loop_closing: bool = False,
+        async_mapping: bool = False,
     ):
         self.cam = cam
         self.extractor = OrbExtractor(n_features=n_features)
@@ -106,9 +121,22 @@ class MonoSlam:
         if vocabulary is not None:
             from viorb_tpu.slam.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.map, vocabulary)
+            self.loop_closer = LoopCloser(self.map, vocabulary, cam=cam)
+            self.loop_closer.gba_fn = self._post_loop_gba
             self.enable_loop_closing = enable_loop_closing
         self.lost_frames = 0
+        # async mapping worker (reference LocalMapping thread)
+        self.async_mapping = async_mapping
+        self.map_lock = threading.RLock()
+        self._abort_ba = False
+        self._mapping_queue: "queue.Queue[Optional[int]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._worker_error: Optional[BaseException] = None
+        if async_mapping:
+            self._worker = threading.Thread(
+                target=self._mapping_worker, daemon=True
+            )
+            self._worker.start()
 
     # ------------------------------------------------------------------
 
@@ -233,6 +261,7 @@ class MonoSlam:
             desc01=fr.desc01.copy(),
             valid=fr.valid.copy(),
             point_idx=np.full(fr.xy.shape[0], -1, np.int32),
+            ur=None if fr.ur is None else fr.ur.copy(),
         )
         return kf
 
@@ -277,8 +306,11 @@ class MonoSlam:
 
     def _track(self, fr: FrameRecord):
         self._predict_pose(fr)
-        kf_ids = self._local_kf_ids()
-        pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(kf_ids)
+        with self.map_lock:
+            kf_ids = self._local_kf_ids()
+            pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
+                kf_ids
+            )
         desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
             valid, jnp.bfloat16
         )[:, None]
@@ -345,9 +377,12 @@ class MonoSlam:
         ok_feats = np.nonzero((pf >= 0) & inl)[0]
         fr.point_idx[ok_feats] = pts[pf[ok_feats]]
         if len(pts):
-            vis = np.asarray(visible)[: len(pts)]
-            self.map.pt_visible[pts[vis]] += 1
-            self.map.pt_found[fr.point_idx[ok_feats]] += 1
+            with self.map_lock:
+                vis = np.asarray(visible)[: len(pts)]
+                alive = self.map.pt_active[pts]
+                self.map.pt_visible[pts[vis & alive[: len(vis)]]] += 1
+                ok_alive = ok_feats[self.map.pt_active[fr.point_idx[ok_feats]]]
+                self.map.pt_found[fr.point_idx[ok_alive]] += 1
 
         # velocity model update
         last = self.last_frame
@@ -368,7 +403,7 @@ class MonoSlam:
             self.frames_since_kf >= self.kf_max_interval
             or self.n_tracked < 0.6 * max(ref_tracked, 1)
         ) and self.n_tracked > 15
-        if need:
+        if need and not getattr(self, "suppress_keyframes", False):
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
 
@@ -434,40 +469,122 @@ class MonoSlam:
     # -- mapping step ----------------------------------------------------
 
     def _insert_keyframe(self, fr: FrameRecord):
+        """Sync part of keyframe insertion: create the KF and register its
+        tracked observations, then either run the mapping job inline
+        (lock-step) or hand it to the worker (async)."""
         kf = self._kf_from_frame(fr)
-        kf_id = self.map.add_keyframe(kf)
-        # register tracked points
-        for f in np.nonzero(fr.point_idx >= 0)[0]:
-            self.map.add_observation(int(fr.point_idx[f]), kf_id, int(f))
-        # triangulate new points against best covisible neighbors
-        cov = self.map.covisibility_weights(kf_id)
+        with self.map_lock:
+            kf_id = self.map.add_keyframe(kf)
+            for f in np.nonzero(fr.point_idx >= 0)[0]:
+                p = int(fr.point_idx[f])
+                if self.map.pt_active[p]:
+                    self.map.add_observation(p, kf_id, int(f))
+        self.last_kf_id = kf_id
+        if self.async_mapping:
+            if self._worker_error is not None:
+                raise RuntimeError("mapping worker died") from self._worker_error
+            self._abort_ba = True  # reference mbAbortBA
+            self._mapping_queue.put(kf_id)
+        else:
+            self._mapping_job(kf_id)
+            kf_ = self.map.keyframes[kf_id]
+            fr.r_cw, fr.t_cw = kf_.r_cw.copy(), kf_.t_cw.copy()
+
+    def _mapping_job(self, kf_id: int):
+        """The LocalMapping step for one keyframe: triangulation, stats,
+        windowed BA (skipped when a newer keyframe is already pending —
+        the reference's BA abort), culling, place recognition."""
+        self._abort_ba = False
+        with self.map_lock:
+            if kf_id not in self.map.keyframes:
+                return
+            cov = self.map.covisibility_weights(kf_id)
         neighbors = sorted(cov, key=cov.get, reverse=True)[:3]
         for nb in neighbors:
-            self._triangulate_with(kf_id, nb)
-        self.map.update_point_stats(self.map.local_map_points([kf_id]))
-        # local BA over the covisibility window
-        window = [kf_id] + sorted(cov, key=cov.get, reverse=True)[
-            : self.local_window - 1
-        ]
-        # fixed anchors: KFs observing window points but outside window
-        anchor = set()
-        for p in self.map.local_map_points(window):
-            for k in self.map.obs_kf[p]:
-                if k >= 0 and int(k) not in window:
-                    anchor.add(int(k))
-        fixed = sorted(anchor)[:8]
-        if len(self.map.kf_ids()) <= 2:
-            fixed = [min(self.map.kf_ids())]
-        self._local_ba(window, fixed)
-        self._cull_points(kf_id)
-        self._cull_keyframes(window)
-        self.last_kf_id = kf_id
+            with self.map_lock:
+                if nb not in self.map.keyframes:
+                    continue
+                self._triangulate_with(kf_id, nb)
+        # map-point fusion across the neighborhood (SearchInNeighbors)
+        with self.map_lock:
+            self._search_in_neighbors(kf_id, neighbors)
+        with self.map_lock:
+            self.map.update_point_stats(self.map.local_map_points([kf_id]))
+            window = [kf_id] + sorted(cov, key=cov.get, reverse=True)[
+                : self.local_window - 1
+            ]
+            # fixed anchors: KFs observing window points but outside window
+            anchor = set()
+            for p in self.map.local_map_points(window):
+                for k in self.map.obs_kf[p]:
+                    if k >= 0 and int(k) not in window:
+                        anchor.add(int(k))
+            fixed = sorted(anchor)[:8]
+            if len(self.map.kf_ids()) <= 2:
+                fixed = [min(self.map.kf_ids())]
+        # BA abort: if tracking already queued a newer keyframe, skip the
+        # solve — the next job optimizes a superset window
+        if not (self.async_mapping and not self._mapping_queue.empty()):
+            self._local_ba(window, fixed)
+        with self.map_lock:
+            self._cull_points(kf_id)
+            self._cull_keyframes(window)
         if self.loop_closer is not None:
-            self.loop_closer.add_keyframe(kf_id)
-            if getattr(self, "enable_loop_closing", False):
-                self.loop_closer.try_close(kf_id)
-        kf_ = self.map.keyframes[kf_id]
-        fr.r_cw, fr.t_cw = kf_.r_cw.copy(), kf_.t_cw.copy()
+            with self.map_lock:
+                self.loop_closer.add_keyframe(kf_id)
+                if getattr(self, "enable_loop_closing", False):
+                    self.loop_closer.try_close(kf_id)
+        self.map.version += 1
+
+    def _mapping_worker(self):
+        while True:
+            kf_id = self._mapping_queue.get()
+            try:
+                if kf_id is None:
+                    return
+                self._mapping_job(kf_id)
+            except BaseException as e:  # surfaced on next insert
+                self._worker_error = e
+            finally:
+                self._mapping_queue.task_done()
+
+    def wait_mapping_idle(self):
+        """Block until the mapping queue drains (lock-step no-op). The
+        reference's bLocalMapAcceptKF lock-step wait
+        (Examples/ROS/ORB_VIO/src/ros_vio.cc:263-276)."""
+        if self.async_mapping:
+            self._mapping_queue.join()
+            if self._worker_error is not None:
+                raise RuntimeError("mapping worker died") from self._worker_error
+
+    def shutdown(self):
+        """Stop the mapping worker (reference System::Shutdown)."""
+        if self._worker is not None and self._worker.is_alive():
+            self._mapping_queue.put(None)
+            self._worker.join(timeout=30)
+            self._worker = None
+
+    def reset(self):
+        """Full system reset on unrecoverable pre-map loss (reference
+        Tracking/System::Reset, src/Tracking.cc:2293: clear map, keyframe
+        database, re-initialize from scratch). Past trajectory entries are
+        dropped with their keyframes."""
+        self.wait_mapping_idle()
+        with self.map_lock:
+            self.map = MapStore()
+            self.state = "NOT_INITIALIZED"
+            self.ref_frame = None
+            self.last_frame = None
+            self.last_kf_id = -1
+            self.frames_since_kf = 0
+            self.velocity = None
+            self.traj_entries = []
+            self.n_tracked = 0
+            self.lost_frames = 0
+            if self.loop_closer is not None:
+                from viorb_tpu.slam.loop_closing import LoopCloser
+
+                self.loop_closer = LoopCloser(self.map, self.vocabulary)
 
     def _triangulate_with(self, kf_id: int, nb_id: int):
         kf = self.map.keyframes[kf_id]
@@ -529,6 +646,80 @@ class MonoSlam:
             p = self.map.add_point(X[i], kf.desc01[f1], kf_id, int(f1))
             self.map.add_observation(p, nb_id, int(f2))
 
+    def _fuse_points_into_kf(self, pt_ids: np.ndarray, target_id: int) -> int:
+        """Project the given map points into a keyframe and fuse: a match
+        on a free feature becomes an observation; a match on a feature
+        bound to a DIFFERENT point merges the two (fewer-observations one
+        dies). One batched projection-match launch per keyframe pair — the
+        TPU reshape of ORBmatcher::Fuse (reference src/ORBmatcher.cc Fuse,
+        driven by LocalMapping::SearchInNeighbors src/LocalMapping.cc:1487).
+        Returns number of fused/added observations."""
+        kf = self.map.keyframes.get(target_id)
+        if kf is None or len(pt_ids) == 0:
+            return 0
+        cap = min(self.max_local_points, max(256, len(pt_ids)))
+        pt_ids = pt_ids[:cap]
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 256), np.uint8)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1e9, np.float32)
+        valid = np.zeros(cap, bool)
+        m = len(pt_ids)
+        xyz[:m] = self.map.pt_xyz[pt_ids]
+        desc[:m] = self.map.pt_desc01[pt_ids]
+        normal[:m] = self.map.pt_normal[pt_ids]
+        dmin[:m] = self.map.pt_min_dist[pt_ids]
+        dmax[:m] = self.map.pt_max_dist[pt_ids]
+        valid[:m] = self.map.pt_active[pt_ids]
+        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
+            valid, jnp.bfloat16
+        )[:, None]
+        d_kf = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
+        point_for_feat, _, n, _ = match_by_projection(
+            jnp.asarray(xyz), desc_pm1, jnp.asarray(valid),
+            jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+            jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw),
+            jnp.asarray(kf.xy), d_kf, jnp.asarray(kf.valid),
+            self.cam, jnp.float32(3.0),
+        )
+        pf = np.asarray(point_for_feat)
+        fused = 0
+        for f in np.nonzero(pf >= 0)[0]:
+            p = int(pt_ids[pf[f]])
+            if not self.map.pt_active[p]:
+                continue
+            q = int(kf.point_idx[f])
+            if q < 0:
+                if self.map.add_observation(p, target_id, int(f)):
+                    fused += 1
+            elif q != p and self.map.pt_active[q]:
+                # keep the better-observed point (reference Fuse->Replace)
+                if self.map.n_obs(q) >= self.map.n_obs(p):
+                    self.map.replace_point(p, q)
+                else:
+                    self.map.replace_point(q, p)
+                fused += 1
+        return fused
+
+    def _search_in_neighbors(self, kf_id: int, neighbors: List[int]):
+        """Two-pass fusion (reference LocalMapping::SearchInNeighbors,
+        src/LocalMapping.cc:1487): new KF's points into each neighbor,
+        then all neighbor points into the new KF."""
+        kf = self.map.keyframes.get(kf_id)
+        if kf is None:
+            return
+        own = kf.point_idx[kf.point_idx >= 0]
+        for nb in neighbors:
+            self._fuse_points_into_kf(own, nb)
+        nb_pts = self.map.local_map_points(neighbors)
+        self._fuse_points_into_kf(nb_pts, kf_id)
+        touched = np.unique(
+            np.concatenate([own, nb_pts]) if len(nb_pts) else own
+        )
+        alive = touched[self.map.pt_active[touched]]
+        self.map.update_point_stats(alive)
+
     def _project_np(self, pc):
         z = np.maximum(pc[:, 2:3], 1e-6)
         xn = pc[:, :2] / z
@@ -541,17 +732,22 @@ class MonoSlam:
         )
 
     def _local_ba(self, window: List[int], fixed: List[int]):
-        kf_list, pt_ids, kf_idx, uv, inv_s2, valid = self.map.build_ba_problem(
-            window, fixed, self.max_ba_landmarks
-        )
-        if len(pt_ids) == 0:
-            return
-        k = len(kf_list)
-        r_cw = np.stack([self.map.keyframes[i].r_cw for i in kf_list])
-        t_cw = np.stack([self.map.keyframes[i].t_cw for i in kf_list])
-        points = np.zeros((self.max_ba_landmarks, 3), np.float32)
-        points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
-        fixed_mask = np.array([i in fixed for i in kf_list])
+        with self.map_lock:
+            window = [k for k in window if k in self.map.keyframes]
+            fixed = [k for k in fixed if k in self.map.keyframes]
+            if len(window) < 2:
+                return
+            kf_list, pt_ids, kf_idx, uv, inv_s2, valid = self.map.build_ba_problem(
+                window, fixed, self.max_ba_landmarks
+            )
+            if len(pt_ids) == 0:
+                return
+            k = len(kf_list)
+            r_cw = np.stack([self.map.keyframes[i].r_cw for i in kf_list])
+            t_cw = np.stack([self.map.keyframes[i].t_cw for i in kf_list])
+            points = np.zeros((self.max_ba_landmarks, 3), np.float32)
+            points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
+            fixed_mask = np.array([i in fixed for i in kf_list])
         state = VisionBAState(
             jnp.asarray(r_cw), jnp.asarray(t_cw), jnp.asarray(points)
         )
@@ -561,26 +757,53 @@ class MonoSlam:
             inv_sigma2=jnp.asarray(inv_s2),
             valid=jnp.asarray(valid),
         )
+        bf = getattr(self, "bf", None)  # set by StereoSlam
+        if bf is not None:
+            ur, urv = self.map.build_stereo_ur_grid(
+                pt_ids, kf_list, self.max_ba_landmarks
+            )
+            obs = obs._replace(ur=jnp.asarray(ur), ur_valid=jnp.asarray(urv))
         out, obs2 = vision_ba_two_phase(
-            state, obs, self.cam, jnp.asarray(fixed_mask)
+            state, obs, self.cam, jnp.asarray(fixed_mask),
+            bf=None if bf is None else jnp.float32(bf),
         )
-        # write back
+        # write back (under the lock; the solve above ran on snapshots)
         r_new = np.asarray(out.r_cw)
         t_new = np.asarray(out.t_cw)
         p_new = np.asarray(out.points)
-        for s, i in enumerate(kf_list):
-            if not fixed_mask[s]:
-                self.map.keyframes[i].r_cw = r_new[s]
-                self.map.keyframes[i].t_cw = t_new[s]
-        self.map.pt_xyz[pt_ids] = p_new[: len(pt_ids)]
-        # remove observations BA marked as outliers
-        was_valid = valid
-        now_valid = np.asarray(obs2.valid)
-        dropped = was_valid & ~now_valid
-        for row in np.nonzero(dropped.any(axis=1))[0]:
-            p = int(pt_ids[row])
-            for s in np.nonzero(dropped[row])[0]:
-                self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+        with self.map_lock:
+            for s, i in enumerate(kf_list):
+                if not fixed_mask[s] and i in self.map.keyframes:
+                    self.map.keyframes[i].r_cw = r_new[s]
+                    self.map.keyframes[i].t_cw = t_new[s]
+            alive = self.map.pt_active[pt_ids]
+            self.map.pt_xyz[pt_ids[alive]] = p_new[: len(pt_ids)][alive]
+            # remove observations BA marked as outliers
+            was_valid = valid
+            now_valid = np.asarray(obs2.valid)
+            dropped = was_valid & ~now_valid
+            for row in np.nonzero(dropped.any(axis=1))[0]:
+                p = int(pt_ids[row])
+                if not self.map.pt_active[p]:
+                    continue
+                for s in np.nonzero(dropped[row])[0]:
+                    self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+
+    def _post_loop_gba(self, anchor_kf: int):
+        """Full-map BA after a loop correction, anchored at the loop
+        (old-side) keyframe (reference RunGlobalBundleAdjustment,
+        src/LoopClosing.cc:674-819 — vision flavour)."""
+        ids = sorted(self.map.keyframes.keys())
+        if len(ids) < 3:
+            return
+        self._local_ba(ids, fixed=[anchor_kf])
+
+    def _can_cull(self, k: int) -> bool:
+        """Subclass veto hook (VI adds preintegration time-gap guards)."""
+        return True
+
+    def _on_cull(self, k: int):
+        """Subclass hook run just before a keyframe is removed."""
 
     def _cull_keyframes(self, window: List[int]):
         """Redundant-keyframe culling (reference LocalMapping::
@@ -593,6 +816,8 @@ class MonoSlam:
         for k in window:
             if k in protected or k not in self.map.keyframes:
                 continue
+            if not self._can_cull(k):
+                continue
             kf = self.map.keyframes[k]
             pts = kf.point_idx[kf.point_idx >= 0]
             if len(pts) < 20:
@@ -600,6 +825,7 @@ class MonoSlam:
             n_obs = (self.map.obs_kf[pts] >= 0).sum(axis=1)
             redundant = (n_obs >= 4).mean()  # self + 3 others
             if redundant > 0.9:
+                self._on_cull(k)
                 # re-anchor trajectory entries onto the newest keyframe:
                 # T_rel' = T_rel * T_k * T_anchor^{-1}
                 anchor = self.last_kf_id

@@ -56,6 +56,11 @@ class MonoViSlam(MonoSlam):
         imu_capacity: int = 256,
         **kwargs,
     ):
+        if kwargs.get("async_mapping"):
+            raise NotImplementedError(
+                "async mapping is not yet supported in VI mode (the VI init "
+                "rescale must be atomic with tracking); use lock-step"
+            )
         super().__init__(cam, **kwargs)
         self.r_bc = np.eye(3, dtype=np.float32) if r_bc is None else r_bc
         self.p_bc = np.zeros(3, np.float32) if p_bc is None else p_bc
@@ -73,6 +78,17 @@ class MonoViSlam(MonoSlam):
         self.bias_g = np.zeros(3, np.float32)
         self.bias_a = np.zeros(3, np.float32)
         self.kf_chain: List[int] = []  # ordered keyframe ids with IMU links
+        self.init_time = 0.0
+        # keep refining the init estimates until this much data exists
+        # (reference VINS init acceptance window, src/LocalMapping.cc:554-563)
+        self.init_refine_window = 12.0
+        # post-relocalization bias re-estimation (reference
+        # mbRelocBiasPrepare + RecomputeIMUBiasAndCurrentNavstate,
+        # src/Tracking.cc:59-227, :2285-2287)
+        self.reloc_bias_prepare = False
+        self.reloc_buffer: List[tuple] = []  # (ts, r_cw, t_cw, imu samples)
+        self.reloc_frames_needed = 20
+        self.pre_init_lost = 0
 
     # -- pose conversions ------------------------------------------------
 
@@ -113,6 +129,16 @@ class MonoViSlam(MonoSlam):
             self.imu_since_frame.append(s)
         if not self.vi_ready:
             out = self.process_frame(image, ts)
+            # pre-init loss with a tiny map is unrecoverable: full reset
+            # (reference src/Tracking.cc:1188-1196)
+            if out["state"] == "LOST" and len(self.map.kf_ids()) <= 5:
+                self.pre_init_lost += 1
+                if self.pre_init_lost >= 3:
+                    self.reset_vi()
+                    out = {"state": "NOT_INITIALIZED", "n_tracked": 0,
+                           "n_kfs": 0, "n_points": 0}
+            else:
+                self.pre_init_lost = 0
             self.imu_since_frame = []
             return out
         # VI tracking
@@ -131,12 +157,56 @@ class MonoViSlam(MonoSlam):
 
     # -- keyframe hooks ---------------------------------------------------
 
-    def _cull_keyframes(self, window):
-        """Disabled in VI mode: culling a chain keyframe would require
-        merging its IMU preintegration into the neighbours (the
-        reference's VI-aware KeyFrameCulling with 0.5 s time-gap guards,
-        src/LocalMapping.cc:1705-1750) — a next-round item."""
-        return
+    def _can_cull(self, k: int) -> bool:
+        """VI time-gap guard (reference VI-aware KeyFrameCulling,
+        src/LocalMapping.cc:1705-1750): a chain keyframe may only be
+        culled when merging its IMU segment into the next one keeps the
+        preintegration interval short (<= 0.5 s), and never the chain
+        ends."""
+        if k not in self.kf_chain:
+            return True
+        i = self.kf_chain.index(k)
+        if i == 0 or i == len(self.kf_chain) - 1:
+            return False
+        prev_id = self.kf_chain[i - 1]
+        next_id = self.kf_chain[i + 1]
+        if prev_id not in self.map.keyframes or next_id not in self.map.keyframes:
+            return False
+        gap = (
+            self.map.keyframes[next_id].timestamp
+            - self.map.keyframes[prev_id].timestamp
+        )
+        return gap <= 0.5
+
+    def _on_cull(self, k: int):
+        """Merge the culled keyframe's IMU segment into its next chain
+        neighbour and re-link prev<->next (the reference re-chains
+        pPrevKF/pNextKF and recomputes the preintegration; here the raw
+        sample buffers concatenate, so the next BA's preintegration is
+        exact rather than composed)."""
+        if k not in self.kf_chain:
+            return
+        i = self.kf_chain.index(k)
+        prev_id = self.kf_chain[i - 1]
+        next_id = self.kf_chain[i + 1]
+        kf = self.map.keyframes[k]
+        nxt = self.map.keyframes[next_id]
+        nav_k = kf.nav or {}
+        nav_n = nxt.nav or {}
+        t = np.concatenate([nav_k.get("imu_t", np.zeros(0, np.float32)),
+                            nav_n.get("imu_t", np.zeros(0, np.float32))])
+        g = np.concatenate([nav_k.get("imu_g", np.zeros((0, 3), np.float32)),
+                            nav_n.get("imu_g", np.zeros((0, 3), np.float32))])
+        a = np.concatenate([nav_k.get("imu_a", np.zeros((0, 3), np.float32)),
+                            nav_n.get("imu_a", np.zeros((0, 3), np.float32))])
+        n_keep = min(len(t), self.imu_capacity)
+        nxt.nav = nav_n or {}
+        nxt.nav["imu_t"] = t[-n_keep:]
+        nxt.nav["imu_g"] = g[-n_keep:].astype(np.float32)
+        nxt.nav["imu_a"] = a[-n_keep:].astype(np.float32)
+        nxt.prev_kf = prev_id
+        self.map.keyframes[prev_id].next_kf = next_id
+        self.kf_chain.remove(k)
 
     def _insert_keyframe(self, fr: FrameRecord):
         super()._insert_keyframe(fr)
@@ -166,9 +236,20 @@ class MonoViSlam(MonoSlam):
             # store NavState on the KF from the tracked frame state
             if self.nav_cur is not None:
                 kf.nav["state"] = jax.tree.map(np.asarray, self.nav_cur)
+            # continuous init refinement: the reference only ACCEPTS init
+            # after 15 s of data (src/LocalMapping.cc:554-563); we accept
+            # early for usability and keep re-estimating scale/gravity/
+            # biases on the growing chain until the same time span
+            if kf.timestamp - self.init_time < self.init_refine_window:
+                self._refine_vi_init()
             self._vi_local_ba(kf_id)
         else:
             self._maybe_vi_init()
+        # re-sync the frame pose with the (possibly rescaled / BA-updated)
+        # keyframe: super() copied it BEFORE VI init rescaled the map, and
+        # the trajectory entry recorded after this must not mix scales
+        kf_now = self.map.keyframes[kf_id]
+        fr.r_cw, fr.t_cw = kf_now.r_cw.copy(), kf_now.t_cw.copy()
 
     def _kf_imu_batch(self, kf_id: int) -> ImuBatch:
         nav = self.map.keyframes[kf_id].nav
@@ -198,8 +279,24 @@ class MonoViSlam(MonoSlam):
         )
         if res is None or not res.success or res.scale <= 0:
             return
+        self._apply_init_result(res, chain)
+        self.vi_ready = True
+        last = self.map.keyframes[chain[-1]]
+        self.vi_ready = True
+        self.last_vision_time = last.timestamp
+        self.init_time = last.timestamp
+        # post-init global VI BA with gravity FIXED (reference GBA after
+        # init, src/LocalMapping.cc:802-804 / GlobalBundleAdjustmentNavState).
+        # Gravity stays at the closed-form estimate: over a short init
+        # window the free-gravity GBA (vi_ba_gw) trades gravity error for
+        # bias — measured 1.4deg -> 4.2deg on the rendered sequence.
+        self._vi_local_ba(chain[-1], window_size=len(chain), iters=(15, 10))
+
+    def _apply_init_result(self, res, chain):
+        """Apply a (re-)estimated VI init: rescale the map, refresh
+        gravity/biases, overwrite chain NavStates with the solved
+        velocities (reference src/LocalMapping.cc:583-707)."""
         s = res.scale
-        # rescale the whole map (reference src/LocalMapping.cc:690-707)
         pts = self.map.active_point_ids()
         self.map.pt_xyz[pts] *= s
         self.map.pt_min_dist[pts] *= s
@@ -210,20 +307,52 @@ class MonoViSlam(MonoSlam):
         self.bias_g = res.bias_g.astype(np.float32)
         self.bias_a = res.bias_a.astype(np.float32)
         self.gravity = res.gravity_w.astype(np.float32)
-        # NavStates for all chain KFs
         for idx, kf_id in enumerate(chain):
             kf = self.map.keyframes[kf_id]
             nav = self._nav_from_tcw(kf.r_cw, kf.t_cw, v=res.velocities[idx])
+            kf.nav = kf.nav or {}
             kf.nav["state"] = jax.tree.map(np.asarray, nav)
-        # current frame state continues from the newest KF
+        # current frame state continues from the newest chain KF
         last = self.map.keyframes[chain[-1]]
         self.nav_cur = jax.tree.map(jnp.asarray, last.nav["state"])
         if self.last_frame is not None and self.last_frame.t_cw is not None:
             self.last_frame.t_cw = self.last_frame.t_cw * s
-        self.vi_ready = True
-        self.last_vision_time = last.timestamp
-        # global VI BA over the chain (reference GBA after init :802-804)
-        self._vi_local_ba(chain[-1], window_size=len(chain))
+
+    def _refine_vi_init(self):
+        """Re-run the closed-form init on the full (already metric) chain:
+        the scale correction should be ~1; gravity/bias estimates improve
+        with the longer baseline. Beyond-reference redesign of the 15 s
+        init acceptance window (src/LocalMapping.cc:554-563): accept early,
+        keep refining while running.
+
+        The closed-form solve is exactly scale-equivariant in the camera
+        centers, so re-running it on unchanged geometry returns 1.0 —
+        improvement comes from the windowed/global VI BA moving the
+        centers toward IMU-metric between calls (see _maybe_vi_init's
+        BA<->refine alternation)."""
+        chain = [k for k in self.kf_chain if k in self.map.keyframes]
+        if len(chain) < max(4, self.vi_init_min_kfs):
+            return
+        kfs = [self.map.keyframes[i] for i in chain]
+        p_c = np.stack([k.center() for k in kfs])
+        r_wc = np.stack([k.r_cw.T for k in kfs])
+        ts = np.array([k.timestamp for k in kfs])
+        batches = [self._kf_imu_batch(i) for i in chain[1:]]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        # widen triplet strides as the chain grows: the scale signal in a
+        # triplet grows ~dt^2 while vision noise is constant, so wide
+        # triplets cut the errors-in-variables attenuation of the estimate
+        max_stride = max(3, min(6, (len(chain) - 1) // 2))
+        res = try_vi_init(
+            p_c, r_wc, ts, stacked, r_bc=self.r_bc, p_bc=self.p_bc,
+            noise=self.imu_noise, strides=tuple(range(1, max_stride + 1)),
+        )
+        if res is None or not res.success:
+            return
+        # corrections on a metric map must be small — reject outliers
+        if not 0.7 < res.scale < 1.4:
+            return
+        self._apply_init_result(res, chain)
 
     # -- VI tracking ------------------------------------------------------
 
@@ -239,7 +368,102 @@ class MonoViSlam(MonoSlam):
             return ImuBatch.from_arrays(g, a, t, capacity=self.imu_capacity)
         return ImuBatch.empty(self.imu_capacity)
 
+    def reset_vi(self):
+        """Reset the whole VI system (map + inertial state)."""
+        self.reset()
+        self.vi_ready = False
+        self.gravity = None
+        self.imu_since_kf = []
+        self.imu_since_frame = []
+        self.nav_cur = None
+        self.bias_g = np.zeros(3, np.float32)
+        self.bias_a = np.zeros(3, np.float32)
+        self.kf_chain = []
+        self.reloc_bias_prepare = False
+        self.reloc_buffer = []
+        self.pre_init_lost = 0
+
+    # -- relocalization + bias recompute ----------------------------------
+
+    def _begin_reloc_bias_prepare(self, fr: FrameRecord, ts: float):
+        """After a successful relocalization, suspend VI tracking and
+        collect vision-only frames for the bias re-solve (reference
+        mbRelocBiasPrepare set at src/Tracking.cc:2285-2287)."""
+        self.reloc_bias_prepare = True
+        self.reloc_buffer = [
+            (ts, fr.r_cw.copy(), fr.t_cw.copy(), [])
+        ]
+        self.suppress_keyframes = True
+        self.imu_since_kf = []  # the pre-loss segment is no longer usable
+
+    def _reloc_prepare_step(self, fr: FrameRecord, ts: float):
+        """Vision-only tracking while collecting the 20-frame buffer; on
+        completion re-solve gyro bias + velocity and resume VI tracking
+        (reference RecomputeIMUBiasAndCurrentNavstate,
+        src/Tracking.cc:59-227, invoked at :1053-1082)."""
+        self._track(fr)  # vision path (KF insertion suppressed)
+        if self.state != "OK" or fr.r_cw is None:
+            # lost again mid-prepare: abandon and wait for the next reloc
+            self.reloc_bias_prepare = False
+            self.suppress_keyframes = False
+            self.reloc_buffer = []
+            self.state = "LOST"
+            return
+        self.reloc_buffer.append(
+            (ts, fr.r_cw.copy(), fr.t_cw.copy(), list(self.imu_since_frame))
+        )
+        if len(self.reloc_buffer) < self.reloc_frames_needed:
+            return
+        self._recompute_bias_and_navstate(ts)
+
+    def _recompute_bias_and_navstate(self, ts: float):
+        from viorb_tpu.slam.vi_init import estimate_gyro_bias
+
+        buf = self.reloc_buffer
+        self.reloc_bias_prepare = False
+        self.suppress_keyframes = False
+        self.reloc_buffer = []
+        # body rotations from vision poses
+        r_wb = np.stack([(r.T @ self.r_bc.T) for _, r, _, _ in buf])
+        # per-gap preintegrations at zero gyro bias
+        batches = []
+        for (t0, _, _, _), (t1, _, _, samples) in zip(buf[:-1], buf[1:]):
+            if samples:
+                t = np.array([s[0] for s in samples], np.float32)
+                g = np.stack([np.asarray(s[1]) for s in samples]).astype(np.float32)
+                a = np.stack([np.asarray(s[2]) for s in samples]).astype(np.float32)
+                batches.append(
+                    ImuBatch.from_arrays(g, a, t, capacity=self.imu_capacity)
+                )
+            else:
+                batches.append(ImuBatch.empty(self.imu_capacity))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        t0s = np.array([b[0] for b in buf[:-1]], np.float32)
+        t1s = np.array([b[0] for b in buf[1:]], np.float32)
+        pre0 = preintegrate_batch(
+            stacked, jnp.zeros(3), jnp.zeros(3), jnp.asarray(t0s),
+            jnp.asarray(t1s), self.imu_noise,
+        )
+        self.bias_g = estimate_gyro_bias(r_wb, pre0).astype(np.float32)
+        # velocity from the last position difference (reference :180-220)
+        p_cb = -(self.r_bc.T @ self.p_bc)
+        p_wb = []
+        for _, r_cw, t_cw, _ in buf[-2:]:
+            r_wc = r_cw.T
+            c_w = -r_wc @ t_cw
+            p_wb.append(c_w + r_wc @ p_cb)
+        dt = max(buf[-1][0] - buf[-2][0], 1e-3)
+        v = (p_wb[1] - p_wb[0]) / dt
+        last_ts, r_cw, t_cw, _ = buf[-1]
+        self.nav_cur = self._nav_from_tcw(r_cw, t_cw, v=v.astype(np.float32))
+        self.last_vision_time = last_ts
+        self.imu_since_kf = []
+        self.state = "OK"
+
     def _track_vi(self, fr: FrameRecord, ts: float):
+        if self.reloc_bias_prepare:
+            self._reloc_prepare_step(fr, ts)
+            return
         last_t = self.last_frame.timestamp if self.last_frame else ts
         batch = self._imu_batch_since_frame()
         pre = preintegrate(
@@ -285,6 +509,12 @@ class MonoViSlam(MonoSlam):
                 self.state = "IMU_ONLY"
                 self.nav_cur = nav_pred
                 self.n_tracked = 0
+                return
+            # beyond the IMU window: BoW relocalization, then a 20-frame
+            # bias re-solve before resuming VI (reference
+            # src/Tracking.cc:2127-2291 + :1053-1082)
+            if self._relocalize(fr):
+                self._begin_reloc_bias_prepare(fr, ts)
                 return
             self.state = "LOST"
             self.n_tracked = 0
@@ -345,6 +575,9 @@ class MonoViSlam(MonoSlam):
                 self.state = "IMU_ONLY"
                 self.nav_cur = nav_pred
                 return
+            if self._relocalize(fr):
+                self._begin_reloc_bias_prepare(fr, ts)
+                return
             self.state = "LOST"
             return
         self.state = "OK"
@@ -361,21 +594,31 @@ class MonoViSlam(MonoSlam):
             self.map.pt_visible[pts[vis]] += 1
             self.map.pt_found[fr.point_idx[ok_feats]] += 1
 
-        # keyframe decision
+        # keyframe decision: vision rule OR the VI time-gap rule — insert
+        # after >=0.5 s without a keyframe so preintegration segments stay
+        # short (reference NeedNewKeyFrame VI branch,
+        # src/Tracking.cc:1773-1777)
         self.frames_since_kf += 1
         ref_kf = self.map.keyframes[self.last_kf_id]
         ref_tracked = int((ref_kf.point_idx >= 0).sum())
-        need = (
+        need_vision = (
             self.frames_since_kf >= self.kf_max_interval
             or self.n_tracked < 0.6 * max(ref_tracked, 1)
-        ) and self.n_tracked > 15
-        if need:
+        )
+        need_timegap = ts - ref_kf.timestamp >= 0.5
+        if (need_vision or need_timegap) and self.n_tracked > 15:
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
 
     # -- VI local BA ------------------------------------------------------
 
-    def _vi_local_ba(self, kf_id: int, window_size: Optional[int] = None):
+    def _vi_local_ba(
+        self,
+        kf_id: int,
+        window_size: Optional[int] = None,
+        optimize_gravity: bool = False,
+        iters: tuple = (5, 5),
+    ):
         w = window_size or self.local_window
         chain = [k for k in self.kf_chain if k in self.map.keyframes]
         window = chain[-w:]
@@ -417,8 +660,15 @@ class MonoViSlam(MonoSlam):
         for a, b in zip(window[:-1], window[1:]):
             kfb = self.map.keyframes[b]
             batches.append(self._kf_imu_batch(b))
+            # an edge spanning a tracking-loss gap carries a huge-dt
+            # preintegration: drop it (its covariance whitening would
+            # nearly zero it anyway, but padded buffers may also have
+            # missed samples)
+            dt_ab = kfb.timestamp - self.map.keyframes[a].timestamp
             valid_edges.append(
-                self.map.keyframes[b].prev_kf == a and len(kfb.nav["imu_t"]) > 0
+                self.map.keyframes[b].prev_kf == a
+                and len(kfb.nav["imu_t"]) > 0
+                and dt_ab < 3.0
             )
             t0s.append(self.map.keyframes[a].timestamp)
             t1s.append(kfb.timestamp)
@@ -459,10 +709,21 @@ class MonoViSlam(MonoSlam):
             inv_sigma2=jnp.asarray(inv_s2),
             valid=jnp.asarray(valid),
         )
-        out, obs2 = vi_ba_two_phase(
-            state, obs, self.cam, self.ext, chain_obj,
-            jnp.asarray(self.gravity), jnp.asarray(fixed_mask),
-        )
+        if optimize_gravity:
+            from viorb_tpu.optim import vi_ba_gw_two_phase
+
+            out, g_new, obs2 = vi_ba_gw_two_phase(
+                state, obs, self.cam, self.ext, chain_obj,
+                jnp.asarray(self.gravity), jnp.asarray(fixed_mask),
+                iters1=15, iters2=10,
+            )
+            self.gravity = np.asarray(g_new).astype(np.float32)
+        else:
+            out, obs2 = vi_ba_two_phase(
+                state, obs, self.cam, self.ext, chain_obj,
+                jnp.asarray(self.gravity), jnp.asarray(fixed_mask),
+                iters1=iters[0], iters2=iters[1],
+            )
         # write back
         nav_np = jax.tree.map(np.asarray, out.nav)
         p_new = np.asarray(out.points)

@@ -260,6 +260,7 @@ def try_vi_init(
     p_bc: np.ndarray = np.zeros(3),
     noise=None,
     strides: Sequence[int] = (1, 2, 3),
+    ba_prior_weight: float = 0.02,
 ) -> Optional[ViInitResult]:
     """Full VI initialization over a keyframe chain. success=False when the
     estimate fails plausibility gates (the reference gates on 15s of data;
@@ -302,7 +303,8 @@ def try_vi_init(
 
     # step 3: refine with |g| constraint + accel bias
     s3, gw3, ba = refine_scale_gravity_ba(
-        triplets, p_c, r_wb, p_bc_w, timestamps, gw2, ba_prior_weight=0.02
+        triplets, p_c, r_wb, p_bc_w, timestamps, gw2,
+        ba_prior_weight=ba_prior_weight,
     )
     if s3 <= 0:
         return None
