@@ -153,14 +153,36 @@ def test_vision_ba_two_phase_drops_outliers(rng):
     assert v[10:, :].mean() > 0.95
 
 
-def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0, accel_fn=None, omega=None):
+def _simulate_vi_trajectory(
+    k=6, dt_kf=0.25, hz=200.0, accel_fn=None, omega=None,
+    imu_noise_scale=0.0, noise_rng=None,
+):
     """Body moves on a smooth arc; camera = body. With the default constant
     world acceleration, scale/accel-bias/gravity are near-degenerate (the
     classic VI unobservability) — pass accel_fn/omega for excited
-    trajectories."""
+    trajectories.
+
+    imu_noise_scale > 0 adds Gaussian measurement noise to the samples AND
+    scales the ImuNoise model passed to preintegrate by the same factor, so
+    the preintegration covariance stays CONSISTENT with the actual noise
+    (needed for filter-consistency tests — noiseless IMU with a nonzero
+    claimed covariance makes overconfident dead-reckoning degenerate-optimal)."""
     g_w = np.array([0, 0, -9.81], np.float32)
     a_body = np.array([0.4, 0.1, 0.2], np.float32)  # world accel (R=I)
     omega = np.array([0.0, 0.0, 0.3], np.float32) if omega is None else omega
+    noise_model = ImuNoise()
+    sg = sa = 0.0
+    if imu_noise_scale > 0:
+        noise_model = ImuNoise(
+            gyro_meas_var=noise_model.gyro_meas_var * imu_noise_scale**2,
+            acc_meas_var=noise_model.acc_meas_var * imu_noise_scale**2,
+            gyro_bias_rw_var=noise_model.gyro_bias_rw_var,
+            acc_bias_rw_var=noise_model.acc_bias_rw_var,
+        )
+        # discrete sample std: meas_var is sigma^2 * rate
+        sg = np.sqrt(noise_model.gyro_meas_var)
+        sa = np.sqrt(noise_model.acc_meas_var)
+        noise_rng = noise_rng or np.random.default_rng(7)
     navs = []
     pres = []
     t = 0.0
@@ -177,8 +199,12 @@ def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0, accel_fn=None, omega=None
             # measured: f_b = R^T (a_w - g_w)
             f_b = R.T @ (a_w - g_w)
             w_b = R.T @ omega
-            samples_g.append(w_b)
-            samples_a.append(f_b)
+            if imu_noise_scale > 0:
+                samples_g.append(w_b + noise_rng.normal(size=3) * sg)
+                samples_a.append(f_b + noise_rng.normal(size=3) * sa)
+            else:
+                samples_g.append(w_b)
+                samples_a.append(f_b)
             ts.append(t)
             # integrate ground truth
             p = p + v * dt + 0.5 * a_w * dt * dt
@@ -186,10 +212,12 @@ def _simulate_vi_trajectory(k=6, dt_kf=0.25, hz=200.0, accel_fn=None, omega=None
             R = R @ np.asarray(exp_so3(jnp.asarray(w_b * dt)))
             t += dt
         batch = ImuBatch.from_arrays(
-            np.stack(samples_g), np.stack(samples_a), np.array(ts), capacity=64
+            np.stack(samples_g).astype(np.float32),
+            np.stack(samples_a).astype(np.float32),
+            np.array(ts), capacity=64,
         )
         pre = preintegrate(
-            batch, jnp.zeros(3), jnp.zeros(3), ts[0], t, ImuNoise()
+            batch, jnp.zeros(3), jnp.zeros(3), ts[0], t, noise_model
         )
         pres.append(pre)
         navs.append((p.copy(), v.copy(), R.copy()))
@@ -381,3 +409,170 @@ def test_vi_ba_gw_repairs_scale_and_gravity(rng):
     assert abs(ratio - 1.0) < 0.025, f"scale ratio {ratio}"
     p_err = np.abs(np.asarray(out.nav.p) - ps).max()
     assert p_err < 0.03, f"p_err {p_err}"
+
+
+def _run_prior_chain(navs, pres, pts, g_w, use_prior, noises, seeds_p, seeds_v):
+    """Frame-to-frame VI tracking over a simulated chain, with or without
+    the carried Schur-marginal prior; returns per-frame p/v error arrays."""
+    from viorb_tpu.optim import ViPosePrior
+
+    k = len(navs)
+    m = pts.shape[0]
+    ext = Extrinsics.identity()
+    g = jnp.asarray(g_w)
+    bias_info = jnp.ones(6) * 1e4
+    z3 = jnp.zeros(3)
+
+    def nav_of(i):
+        p, v, R = navs[i]
+        return NavState(
+            jnp.asarray(p), jnp.asarray(v), jnp.asarray(R), z3, z3, z3, z3
+        )
+
+    def obs_of(i, noise):
+        p, v, R = navs[i]
+        pc = (pts - p) @ R
+        uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+        uv += noise
+        valid = np.ones(m, bool)
+        if 4 <= i <= 6:  # near-blind stretch: only 3 points visible
+            valid[3:] = False
+        return PoseObs(
+            points=jnp.asarray(pts),
+            uv=jnp.asarray(uv.astype(np.float32)),
+            inv_sigma2=jnp.ones(m),
+            valid=jnp.asarray(valid),
+        )
+
+    ns_prev = nav_of(0)  # anchor KF at ground truth
+    prior = None
+    errs_p, errs_v = [], []
+    for j in range(1, k):
+        gt = nav_of(j)
+        seed = gt._replace(p=gt.p + jnp.asarray(seeds_p[j]),
+                           v=gt.v + jnp.asarray(seeds_v[j]))
+        obs = obs_of(j, noises[j])
+        if use_prior and prior is not None:
+            ns_j, ns_i_out, inl, marg = pose_optimization_vi(
+                seed, ns_prev, obs, CAM, ext, pres[j - 1], g, bias_info,
+                prior=prior, rounds=2, iters_per_round=5, optimize_i=True,
+            )
+        else:
+            ns_j, ns_i_out, inl, marg = pose_optimization_vi(
+                seed, ns_prev, obs, CAM, ext, pres[j - 1], g, bias_info,
+                rounds=2, iters_per_round=5, optimize_i=False,
+            )
+        mi = np.asarray(marg)
+        mi = 0.5 * (mi + mi.T)
+        prior = ViPosePrior(
+            state=ns_j, info=jnp.asarray(mi), valid=jnp.asarray(True)
+        )
+        ns_prev = ns_j
+        errs_p.append(np.linalg.norm(np.asarray(ns_j.p) - np.asarray(gt.p)))
+        errs_v.append(np.linalg.norm(np.asarray(ns_j.v) - np.asarray(gt.v)))
+    return np.asarray(errs_p), np.asarray(errs_v)
+
+
+def test_marginal_prior_reduces_tracking_error():
+    """Frame-to-frame VI tracking with the carried Schur-marginal prior
+    must beat prior-less tracking when per-frame IMU drift rivals vision
+    accuracy (reference: Frame::mNavStatePrior/mMargCovInv produced at
+    src/Optimizer.cc:740-772, consumed at :407-423).
+
+    Regime matters: with near-noiseless IMU, pinning the anchor frame
+    (prior-less mode) is degenerate-optimal and the prior can only add
+    estimation noise — so this uses consumer-grade IMU noise (30x EuRoC),
+    consistently reflected in the preintegration covariance, plus a
+    weak-vision dropout stretch. Aggregated over 3 simulated runs to keep
+    the paired comparison out of single-realization noise."""
+    k = 10
+    all_p = {True: [], False: []}
+    all_v = {True: [], False: []}
+    for seed in (0, 1, 2):
+        srng = np.random.default_rng(seed)
+        navs, pres, g_w = _simulate_vi_trajectory(
+            k, dt_kf=0.1,
+            accel_fn=lambda t: np.array(
+                [0.6 * np.sin(3.0 * t), 0.4 * np.cos(2.0 * t), 0.3],
+                np.float32,
+            ),
+            omega=np.array([0.15, 0.1, 0.25], np.float32),
+            imu_noise_scale=30.0, noise_rng=srng,
+        )
+        m = 8  # weak vision: few points
+        pts = make_world(srng, m, depth=(6.0, 12.0))
+        noises = [srng.normal(size=(m, 2)) * 1.0 for _ in range(k)]
+        seeds_p = [srng.normal(size=3).astype(np.float32) * 0.03
+                   for _ in range(k)]
+        seeds_v = [srng.normal(size=3).astype(np.float32) * 0.08
+                   for _ in range(k)]
+        for use_prior in (False, True):
+            ep, ev = _run_prior_chain(
+                navs, pres, pts, g_w, use_prior, noises, seeds_p, seeds_v
+            )
+            all_p[use_prior].append(ep)
+            all_v[use_prior].append(ev)
+
+    def rmse(xs):
+        return float(np.sqrt(np.mean(np.square(np.concatenate(xs)))))
+
+    rmse_p_np, rmse_v_np = rmse(all_p[False]), rmse(all_v[False])
+    rmse_p_pr, rmse_v_pr = rmse(all_p[True]), rmse(all_v[True])
+    # the prior must clearly help position (it propagates the anchor's
+    # true uncertainty instead of pinning it) and not hurt velocity
+    assert rmse_p_pr < rmse_p_np * 0.8, (rmse_p_pr, rmse_p_np)
+    assert rmse_v_pr < rmse_v_np * 1.1, (rmse_v_pr, rmse_v_np)
+    assert rmse_p_pr < 0.15, rmse_p_pr
+
+
+def test_marginal_is_true_schur_complement(rng):
+    """The carried marginal from the two-frame solve must be a TRUE Schur
+    marginal: strictly less informative than the naive H_jj that treats
+    the anchor as exactly known (round-1 review flagged the fake marginal
+    that returned H_jj unconditionally)."""
+    k = 3
+    navs, pres, g_w = _simulate_vi_trajectory(k, dt_kf=0.1)
+    m = 12
+    pts = make_world(rng, m, depth=(6.0, 12.0))
+    ext = Extrinsics.identity()
+    z3 = jnp.zeros(3)
+    p1, v1, R1 = navs[1]
+    p0, v0, R0 = navs[0]
+    ns_i = NavState(jnp.asarray(p0), jnp.asarray(v0), jnp.asarray(R0),
+                    z3, z3, z3, z3)
+    ns_j = NavState(jnp.asarray(p1), jnp.asarray(v1), jnp.asarray(R1),
+                    z3, z3, z3, z3)
+    pc = (pts - p1) @ R1
+    uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+    uv += rng.normal(size=uv.shape) * 0.5
+    obs = PoseObs(
+        points=jnp.asarray(pts), uv=jnp.asarray(uv.astype(np.float32)),
+        inv_sigma2=jnp.ones(m), valid=jnp.ones(m, bool),
+    )
+    bias_info = jnp.ones(6) * 1e4
+    g = jnp.asarray(g_w)
+    _, _, _, marg_pin = pose_optimization_vi(
+        ns_j, ns_i, obs, CAM, ext, pres[0], g, bias_info,
+        rounds=2, iters_per_round=5, optimize_i=False,
+    )
+    from viorb_tpu.optim import ViPosePrior
+
+    prior = ViPosePrior(
+        state=ns_i, info=jnp.eye(15) * 1e4, valid=jnp.asarray(True)
+    )
+    _, _, _, marg_true = pose_optimization_vi(
+        ns_j, ns_i, obs, CAM, ext, pres[0], g, bias_info, prior=prior,
+        rounds=2, iters_per_round=5, optimize_i=True,
+    )
+    a = np.asarray(marg_pin, np.float64)
+    b = np.asarray(marg_true, np.float64)
+    a = 0.5 * (a + a.T)
+    b = 0.5 * (b + b.T)
+    # both PSD
+    assert np.linalg.eigvalsh(b).min() > -1e-3 * np.abs(b).max()
+    # true marginal <= pinned info in PSD order, strictly along some
+    # direction (the anchor's uncertainty must inflate j's covariance)
+    diff = a - b
+    ev = np.linalg.eigvalsh(diff)
+    assert ev.min() > -0.05 * np.abs(a).max(), ev.min()
+    assert ev.max() > 1e-4 * np.abs(a).max(), ev.max()

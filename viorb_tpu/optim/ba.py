@@ -235,7 +235,14 @@ def _schur_system(
 
 
 def _solve_reduced(S, b, fixed_mask_kd, pose_lambda):
-    """Damped solve with fixed poses masked out (unit rows/cols)."""
+    """Damped solve with fixed poses masked out (unit rows/cols).
+
+    Jacobi-preconditioned Cholesky + one iterative-refinement step: the
+    reduced camera system mixes huge vision information (fx^2-scaled)
+    with tiny IMU-only curvature along the global-scale direction; in
+    f32 an unscaled factorization loses that near-null direction and the
+    GBA stalls (SURVEY.md hard-part 6 — f64 normal equations on CPU,
+    compensated f32 on TPU)."""
     n = S.shape[0]
     diag = jnp.diagonal(S)
     S = S + jnp.diag(pose_lambda * jnp.maximum(diag, 1e-6))
@@ -243,9 +250,16 @@ def _solve_reduced(S, b, fixed_mask_kd, pose_lambda):
     Sm = jnp.where(free[:, None] & free[None, :], S, 0.0)
     Sm = Sm + jnp.diag(jnp.where(fixed_mask_kd, 1.0, 0.0))
     bm = jnp.where(free, b, 0.0)
-    # solve via Cholesky; S is SPD after damping
-    L = jnp.linalg.cholesky(Sm + 1e-8 * jnp.eye(n, dtype=S.dtype))
-    dx = jax.scipy.linalg.cho_solve((L, True), bm)
+    # Jacobi scaling: unit diagonal
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
+    Sn = Sm / d[:, None] / d[None, :]
+    bn = bm / d
+    L = jnp.linalg.cholesky(Sn + 1e-7 * jnp.eye(n, dtype=S.dtype))
+    y = jax.scipy.linalg.cho_solve((L, True), bn)
+    # one refinement step on the scaled system
+    r = bn - Sn @ y
+    y = y + jax.scipy.linalg.cho_solve((L, True), r)
+    dx = y / d
     return jnp.where(free, dx, 0.0)
 
 
@@ -352,25 +366,40 @@ def vision_ba_two_phase(
 
 
 class ImuChain(NamedTuple):
-    """K-1 consecutive preintegrated segments (i -> i+1) with validity
-    (chain edges only exist post-VI-init; reference attaches them between
-    prev/next KFs, src/LocalMapping.cc window logic)."""
+    """Preintegrated IMU edges between keyframe slots.
 
-    pre: PreintegratedImu  # leading dim K-1
-    valid: jax.Array  # (K-1,)
+    Default (idx_i/idx_j None): K-1 consecutive segments i -> i+1 (chain
+    edges as the reference attaches between prev/next KFs,
+    src/LocalMapping.cc window logic).
+
+    With explicit idx_i/idx_j (E,): arbitrary edges, e.g. MULTI-STRIDE
+    composed preintegrations i -> i+s. Long edges carry the scale signal
+    (~accel * dt^2 against noise ~dt^1.5) that consecutive 0.5 s edges
+    barely see — the global VI BA uses them to repair mono scale drift
+    (no reference counterpart; built on compose_preint). Bias random-walk
+    edges apply only on stride-1 pairs."""
+
+    pre: PreintegratedImu  # leading dim E (or K-1)
+    valid: jax.Array  # (E,)
     bias_cov_inv_diag: jax.Array  # (6,) information diag of bias walk / dt
+    idx_i: Optional[jax.Array] = None  # (E,) i32
+    idx_j: Optional[jax.Array] = None  # (E,) i32
+
+    def edges(self, k: int):
+        if self.idx_i is None:
+            i = jnp.arange(k - 1)
+            return i, i + 1
+        return self.idx_i, self.idx_j
 
 
 def _vi_imu_system(nav: NavState, chain: ImuChain, gravity, k: int):
     """Dense (K,K,15,15) contributions from preintegration + bias edges via
     autodiff of the whitened residuals."""
     d = 15
-    km1 = k - 1
-    idx_i = jnp.arange(km1)
-    idx_j = idx_i + 1
+    idx_i, idx_j = chain.edges(k)
 
-    ns_i = jax.tree.map(lambda x: x[:-1], nav)
-    ns_j = jax.tree.map(lambda x: x[1:], nav)
+    ns_i = jax.tree.map(lambda x: x[idx_i], nav)
+    ns_j = jax.tree.map(lambda x: x[idx_j], nav)
 
     # padded (invalid) edges carry zero covariance: replace by I so the
     # whitener stays finite; their contributions are masked below anyway
@@ -412,7 +441,12 @@ def _vi_imu_system(nav: NavState, chain: ImuChain, gravity, k: int):
         return rb, Bi, Bj
 
     rb, Bi, Bj = jax.vmap(bedge)(ns_i, ns_j)
-    binfo = chain.bias_cov_inv_diag[None, :] * chain.valid[:, None].astype(r.dtype)
+    # bias random walk only couples consecutive keyframes
+    consec = ((idx_j - idx_i) == 1).astype(r.dtype)
+    binfo = (
+        chain.bias_cov_inv_diag[None, :]
+        * (chain.valid.astype(r.dtype) * consec)[:, None]
+    )
 
     H = jnp.zeros((k, k, d, d), jnp.float32)
     g = jnp.zeros((k, d), jnp.float32)
@@ -451,15 +485,21 @@ def _vi_cost(state: ViBAState, obs, cam, ext, chain, gravity, delta2):
     Lt = whitener_from_cov(cov_safe)
     z15 = jnp.zeros(15, jnp.float32)
     z9 = jnp.zeros(9, jnp.float32)
-    ns_i = jax.tree.map(lambda x: x[:-1], state.nav)
-    ns_j = jax.tree.map(lambda x: x[1:], state.nav)
+    k_ = state.nav.p.shape[0]
+    eidx_i, eidx_j = chain.edges(k_)
+    ns_i = jax.tree.map(lambda x: x[eidx_i], state.nav)
+    ns_j = jax.tree.map(lambda x: x[eidx_j], state.nav)
     ri = jax.vmap(
         lambda a, b, p, L: L @ preint_residual(z15, z9, a, b, p, gravity)
     )(ns_i, ns_j, chain.pre, Lt)
     ichi2 = jnp.sum(ri * ri, axis=-1)
     ihw = huber_weight(ichi2, CHI2_VI_9DOF)
     rb = jax.vmap(lambda a, b: bias_walk_residual(z15, z15, a, b))(ns_i, ns_j)
-    binfo = chain.bias_cov_inv_diag[None, :] * chain.valid[:, None].astype(ri.dtype)
+    consec_ = ((eidx_j - eidx_i) == 1).astype(ri.dtype)
+    binfo = (
+        chain.bias_cov_inv_diag[None, :]
+        * (chain.valid.astype(ri.dtype) * consec_)[:, None]
+    )
     imu_cost = jnp.sum(
         jnp.where(chain.valid, ichi2 * jnp.minimum(ihw, 1.0), 0.0)
     ) + jnp.sum(binfo * rb * rb)
@@ -569,12 +609,10 @@ def _vi_imu_system_gw(nav: NavState, chain: ImuChain, gravity, basis, k: int):
     g(dg) = Exp(basis @ dg) g. Returns (H (k,k,15,15), g_rhs (k,15),
     C (k,15,2) pose-gravity coupling, Hgg (2,2), g_g (2,))."""
     d = 15
-    km1 = k - 1
-    idx_i = jnp.arange(km1)
-    idx_j = idx_i + 1
+    idx_i, idx_j = chain.edges(k)
 
-    ns_i = jax.tree.map(lambda x: x[:-1], nav)
-    ns_j = jax.tree.map(lambda x: x[1:], nav)
+    ns_i = jax.tree.map(lambda x: x[idx_i], nav)
+    ns_j = jax.tree.map(lambda x: x[idx_j], nav)
 
     cov_safe = jnp.where(
         chain.valid[:, None, None], chain.pre.cov, jnp.eye(9, dtype=jnp.float32)
@@ -619,7 +657,11 @@ def _vi_imu_system_gw(nav: NavState, chain: ImuChain, gravity, basis, k: int):
         return rb, Bi, Bj
 
     rb, Bi, Bj = jax.vmap(bedge)(ns_i, ns_j)
-    binfo = chain.bias_cov_inv_diag[None, :] * chain.valid[:, None].astype(r.dtype)
+    consec = ((idx_j - idx_i) == 1).astype(r.dtype)
+    binfo = (
+        chain.bias_cov_inv_diag[None, :]
+        * (chain.valid.astype(r.dtype) * consec)[:, None]
+    )
 
     H = jnp.zeros((k, k, d, d), jnp.float32)
     g_rhs = jnp.zeros((k, d), jnp.float32)

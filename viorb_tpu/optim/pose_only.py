@@ -296,4 +296,10 @@ def pose_optimization_vi(
         marg_info = H_jj - H_ij.T @ H_ii_inv @ H_ij
     else:
         marg_info = H_jj
+    # The marginal is carried UN-discounted: a forgetting factor < 1 was
+    # measured to destabilize the chain (the anchor frame becomes nearly
+    # unconstrained in the two-frame solve and the marginal's smallest
+    # eigenvalue decays geometrically); the un-discounted chain is
+    # self-stabilizing because each step's marginalization already
+    # subtracts the information spent constraining the previous anchor.
     return ns_j, ns_i, inlier & obs.valid, marg_info

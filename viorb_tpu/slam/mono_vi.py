@@ -89,6 +89,18 @@ class MonoViSlam(MonoSlam):
         self.reloc_buffer: List[tuple] = []  # (ts, r_cw, t_cw, imu samples)
         self.reloc_frames_needed = 20
         self.pre_init_lost = 0
+        # optional VI-init convergence dump directory (reference writes
+        # tmp/scale.txt, gw.txt, biasg.txt... from src/LocalMapping.cc:527-547,
+        # plotted by pyplotscripts/plotinit.py; ours: eval/plot_init.py)
+        self.init_log_dir: Optional[str] = None
+        # marginalized frame prior chain (reference Frame::mNavStatePrior +
+        # mMargCovInv, src/Optimizer.cc:740-772 produce, :407-423 consume):
+        # frame-to-frame tracking carries the previous frame's Schur
+        # marginal; the chain re-anchors to the keyframe whenever the map
+        # updates (KF insertion / BA / rescale)
+        self.frame_prior = None
+        self._prior_map_version = -1
+        self._nav_last_frame: Optional[NavState] = None
 
     # -- pose conversions ------------------------------------------------
 
@@ -241,7 +253,13 @@ class MonoViSlam(MonoSlam):
             # early for usability and keep re-estimating scale/gravity/
             # biases on the growing chain until the same time span
             if kf.timestamp - self.init_time < self.init_refine_window:
-                self._refine_vi_init()
+                # throttle: the closed-form re-solve only improves after
+                # the BA has moved the geometry, and every distinct chain
+                # length is a fresh XLA compile — refine every 2nd KF
+                chain_len = len(self.kf_chain)
+                if chain_len - getattr(self, "_last_refine_len", 0) >= 2:
+                    self._refine_vi_init()
+                    self._last_refine_len = chain_len
             self._vi_local_ba(kf_id)
         else:
             self._maybe_vi_init()
@@ -292,10 +310,28 @@ class MonoViSlam(MonoSlam):
         # bias — measured 1.4deg -> 4.2deg on the rendered sequence.
         self._vi_local_ba(chain[-1], window_size=len(chain), iters=(15, 10))
 
+    def _log_init_state(self, res, t):
+        if self.init_log_dir is None:
+            return
+        import os
+
+        os.makedirs(self.init_log_dir, exist_ok=True)
+
+        def app(name, vals):
+            with open(os.path.join(self.init_log_dir, name), "a") as f:
+                f.write(" ".join(f"{v:.6f}" for v in [t] + list(vals)) + "\n")
+
+        app("scale.txt", [res.scale])
+        app("gw.txt", list(res.gravity_w))
+        app("biasg.txt", list(res.bias_g))
+        app("biasa.txt", list(res.bias_a))
+        app("condnum.txt", [res.condition_number])
+
     def _apply_init_result(self, res, chain):
         """Apply a (re-)estimated VI init: rescale the map, refresh
         gravity/biases, overwrite chain NavStates with the solved
         velocities (reference src/LocalMapping.cc:583-707)."""
+        self._log_init_state(res, self.map.keyframes[chain[-1]].timestamp)
         s = res.scale
         pts = self.map.active_point_ids()
         self.map.pt_xyz[pts] *= s
@@ -382,6 +418,8 @@ class MonoViSlam(MonoSlam):
         self.reloc_bias_prepare = False
         self.reloc_buffer = []
         self.pre_init_lost = 0
+        self.frame_prior = None
+        self._nav_last_frame = None
 
     # -- relocalization + bias recompute ----------------------------------
 
@@ -395,6 +433,8 @@ class MonoViSlam(MonoSlam):
         ]
         self.suppress_keyframes = True
         self.imu_since_kf = []  # the pre-loss segment is no longer usable
+        self.frame_prior = None
+        self._nav_last_frame = None
 
     def _reloc_prepare_step(self, fr: FrameRecord, ts: float):
         """Vision-only tracking while collecting the 20-frame buffer; on
@@ -563,11 +603,28 @@ class MonoViSlam(MonoSlam):
             ]
         ) / jnp.maximum(pre_kf.dt, 1e-3)
         nav_j = nav_pred
-        ns_j, ns_i_out, inlier, marg_info = pose_optimization_vi(
-            nav_j, ns_i, obs, self.cam, self.ext, pre_kf,
-            jnp.asarray(self.gravity), bias_info,
-            rounds=2, iters_per_round=5, optimize_i=False,
+        # frame-to-frame with the marginalized prior when the map is
+        # unchanged since the prior was built; otherwise frame-to-KF
+        # (reference: TrackWithIMU's map-updated switch,
+        # src/Tracking.cc:412-534)
+        use_prior = (
+            self.frame_prior is not None
+            and self._prior_map_version == self.map.version
+            and self._nav_last_frame is not None
         )
+        if use_prior:
+            ns_j, ns_i_out, inlier, marg_info = pose_optimization_vi(
+                nav_j, self._nav_last_frame, obs, self.cam, self.ext, pre,
+                jnp.asarray(self.gravity), bias_info,
+                prior=self.frame_prior,
+                rounds=2, iters_per_round=5, optimize_i=True,
+            )
+        else:
+            ns_j, ns_i_out, inlier, marg_info = pose_optimization_vi(
+                nav_j, ns_i, obs, self.cam, self.ext, pre_kf,
+                jnp.asarray(self.gravity), bias_info,
+                rounds=2, iters_per_round=5, optimize_i=False,
+            )
         inl = np.asarray(inlier)
         self.n_tracked = int(inl.sum())
         if self.n_tracked < 10:
@@ -584,6 +641,16 @@ class MonoViSlam(MonoSlam):
         self.last_vision_time = ts
         self.nav_cur = ns_j
         fr.r_cw, fr.t_cw = self._tcw_from_nav(ns_j)
+        # carry this frame's marginal information forward as the next
+        # frame's prior (true Schur marginal in frame-to-frame mode)
+        from viorb_tpu.optim import ViPosePrior
+
+        mi = 0.5 * (marg_info + marg_info.T)
+        self.frame_prior = ViPosePrior(
+            state=ns_j, info=mi, valid=jnp.asarray(True)
+        )
+        self._prior_map_version = self.map.version
+        self._nav_last_frame = ns_j
 
         # record matches, counters
         fr.point_idx = np.full(nf, -1, np.int32)
@@ -681,27 +748,65 @@ class MonoViSlam(MonoSlam):
             jnp.asarray(np.array(t1s, np.float32)),
             self.imu_noise,
         )
-        # pad chain to k-1 edges (edges among anchors invalid)
-        pad = (k - 1) - (n_win - 1)
-        if pad > 0:
-            from viorb_tpu.imu.preintegration import PreintegratedImu
+        bias_info = jnp.concatenate(
+            [
+                jnp.full(3, 1.0 / max(self.imu_noise.gyro_bias_rw_var, 1e-12)),
+                jnp.full(3, 1.0 / max(self.imu_noise.acc_bias_rw_var, 1e-12)),
+            ]
+        ) * 0.005
+        if window_size is not None and n_win >= 5:
+            # global BA: add MULTI-STRIDE composed edges i -> i+s. The
+            # scale signal grows ~accel*dt^2 while preintegration noise
+            # grows ~dt^1.5, so long edges see the mono scale drift that
+            # 0.5 s consecutive edges bury in noise (same physics as the
+            # init's wide triplets; uses compose_preint)
+            from viorb_tpu.imu.preintegration import compose_preint
 
-            pre_pad = PreintegratedImu.identity((pad,))
-            pre = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b]), pre, pre_pad
-            )
-            valid_edges = valid_edges + [False] * pad
-        chain_obj = ImuChain(
-            pre=pre,
-            valid=jnp.asarray(np.array(valid_edges)),
-            bias_cov_inv_diag=jnp.concatenate(
-                [
-                    jnp.full(3, 1.0 / max(self.imu_noise.gyro_bias_rw_var, 1e-12)),
-                    jnp.full(3, 1.0 / max(self.imu_noise.acc_bias_rw_var, 1e-12)),
+            seg1 = [jax.tree.map(lambda x: x[i], pre) for i in range(n_win - 1)]
+            seg = {1: seg1}
+            ok1 = list(valid_edges)
+            okd = {1: ok1}
+            strides = [s_ for s_ in (2, 4, 8) if s_ < n_win]
+            for s_ in strides:
+                h = s_ // 2
+                seg[s_] = [
+                    compose_preint(seg[h][i], seg[h][i + h])
+                    for i in range(n_win - s_)
                 ]
+                okd[s_] = [
+                    okd[h][i] and okd[h][i + h] for i in range(n_win - s_)
+                ]
+            idx_i, idx_j, pres, oks = [], [], [], []
+            for s_ in [1] + strides:
+                for i in range(n_win - s_):
+                    idx_i.append(i)
+                    idx_j.append(i + s_)
+                    pres.append(seg[s_][i])
+                    oks.append(okd[s_][i])
+            chain_obj = ImuChain(
+                pre=jax.tree.map(lambda *xs: jnp.stack(xs), *pres),
+                valid=jnp.asarray(np.array(oks)),
+                bias_cov_inv_diag=bias_info,
+                idx_i=jnp.asarray(np.array(idx_i, np.int32)),
+                idx_j=jnp.asarray(np.array(idx_j, np.int32)),
             )
-            * 0.005,
-        )
+        else:
+            # windowed BA: consecutive chain only, padded to k-1 edges
+            # (edges among anchors invalid)
+            pad = (k - 1) - (n_win - 1)
+            if pad > 0:
+                from viorb_tpu.imu.preintegration import PreintegratedImu
+
+                pre_pad = PreintegratedImu.identity((pad,))
+                pre = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), pre, pre_pad
+                )
+                valid_edges = valid_edges + [False] * pad
+            chain_obj = ImuChain(
+                pre=pre,
+                valid=jnp.asarray(np.array(valid_edges)),
+                bias_cov_inv_diag=bias_info,
+            )
         state = ViBAState(nav_stack, jnp.asarray(points))
         obs = BAObservations(
             kf_idx=jnp.asarray(kf_idx),
