@@ -1,0 +1,161 @@
+"""Distributed-BA scaling measurement.
+
+Runs the landmark-sharded vision and VI BA at 1/2/4/8 shards and reports
+per-iteration wall time + parallel efficiency as ONE JSON line.
+
+On this environment only a virtual CPU mesh (or the single tunneled TPU
+chip) exists, so absolute efficiency numbers here measure the sharding
+machinery's overhead (shard_map partitioning + one psum per iteration),
+not real ICI scaling — the driver's dryrun validates the multi-chip
+compile path, and the same code runs unchanged on a real slice
+(BASELINE.md north star: >=70% efficiency at 2 hosts).
+
+Usage:  PYTHONPATH= JAX_PLATFORMS=cpu \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from viorb_tpu.geometry.camera import PinholeCamera, project
+    from viorb_tpu.imu import ImuNoise, NavState
+    from viorb_tpu.optim import (
+        BAObservations,
+        Extrinsics,
+        ImuChain,
+        ViBAState,
+        VisionBAState,
+    )
+    from viorb_tpu.parallel import (
+        distributed_vi_ba,
+        distributed_vision_ba,
+        shard_observations,
+    )
+
+    cam = PinholeCamera(fx=450.0, fy=450.0, cx=376.0, cy=240.0)
+    rng = np.random.default_rng(0)
+    k, m, r = 12, 8192, 8
+    iters = 10
+
+    pts = np.stack(
+        [rng.uniform(-4, 4, m), rng.uniform(-3, 3, m), rng.uniform(4, 10, m)], 1
+    ).astype(np.float32)
+    t_k = np.stack([np.array([0.15 * i, 0, 0], np.float32) for i in range(k)])
+    r_k = np.broadcast_to(np.eye(3, dtype=np.float32), (k, 3, 3)).copy()
+    kf_idx = rng.integers(0, k, (m, r)).astype(np.int32)
+    pc = pts[:, None, :] + t_k[kf_idx]
+    uv = np.stack(
+        [
+            cam.fx * pc[..., 0] / pc[..., 2] + cam.cx,
+            cam.fy * pc[..., 1] / pc[..., 2] + cam.cy,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    obs = BAObservations(
+        kf_idx=jnp.asarray(kf_idx),
+        uv=jnp.asarray(uv + rng.normal(size=uv.shape).astype(np.float32) * 0.3),
+        inv_sigma2=jnp.ones((m, r)),
+        valid=jnp.ones((m, r), bool),
+    )
+    state = VisionBAState(
+        jnp.asarray(r_k),
+        jnp.asarray(t_k),
+        jnp.asarray(pts + rng.normal(size=pts.shape).astype(np.float32) * 0.03),
+    )
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+
+    # VI problem on the same landmark set
+    z = np.zeros((k, 3), np.float32)
+    nav = NavState(
+        jnp.asarray(-t_k), jnp.zeros((k, 3)), jnp.asarray(r_k),
+        jnp.asarray(z), jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+    )
+    from viorb_tpu.imu.preintegration import PreintegratedImu
+
+    pre = PreintegratedImu.identity((k - 1,))
+    pre = pre._replace(
+        dt=jnp.full(k - 1, 0.5),
+        cov=jnp.broadcast_to(jnp.eye(9) * 1e-4, (k - 1, 9, 9)),
+    )
+    chain = ImuChain(
+        pre=pre,
+        valid=jnp.zeros(k - 1, bool),  # structure-only: timing, not accuracy
+        bias_cov_inv_diag=jnp.concatenate(
+            [jnp.full(3, 1.0 / ImuNoise().gyro_bias_rw_var),
+             jnp.full(3, 1.0 / ImuNoise().acc_bias_rw_var)]
+        ) * 0.005,
+    )
+    vi_state = ViBAState(nav, state.points)
+    ext = Extrinsics.identity()
+
+    devices = jax.devices()
+    results = {}
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > len(devices):
+            break
+        mesh = Mesh(np.array(devices[:n_dev]), ("lm",))
+        obs_d = shard_observations(obs, mesh)
+        st_d = state._replace(
+            points=jax.device_put(state.points, obs_d.uv.sharding)
+        )
+        # warm (compile)
+        out, chi2 = distributed_vision_ba(st_d, obs_d, cam, fixed, mesh, iters=iters)
+        _ = np.asarray(chi2[:1])
+        t0 = time.perf_counter()
+        out, chi2 = distributed_vision_ba(st_d, obs_d, cam, fixed, mesh, iters=iters)
+        _ = np.asarray(chi2[:1])
+        t_vis = (time.perf_counter() - t0) / iters * 1000.0
+
+        vi_d = vi_state._replace(
+            points=jax.device_put(vi_state.points, obs_d.uv.sharding)
+        )
+        out2, chi2b = distributed_vi_ba(
+            vi_d, obs_d, cam, ext, chain, jnp.asarray([0, 0, -9.81], jnp.float32),
+            fixed, mesh, iters=iters,
+        )
+        _ = np.asarray(chi2b[:1])
+        t0 = time.perf_counter()
+        out2, chi2b = distributed_vi_ba(
+            vi_d, obs_d, cam, ext, chain, jnp.asarray([0, 0, -9.81], jnp.float32),
+            fixed, mesh, iters=iters,
+        )
+        _ = np.asarray(chi2b[:1])
+        t_vi = (time.perf_counter() - t0) / iters * 1000.0
+        results[n_dev] = {"vision_ms_per_iter": round(t_vis, 2),
+                          "vi_ms_per_iter": round(t_vi, 2)}
+
+    base = results.get(1, {}).get("vision_ms_per_iter")
+    eff = {}
+    for n_dev, rr in results.items():
+        if base:
+            eff[n_dev] = round(base / (rr["vision_ms_per_iter"] * n_dev), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "distributed_ba_scaling",
+                "value": eff.get(2, 0.0),
+                "unit": "efficiency@2shards",
+                "vs_baseline": round(eff.get(2, 0.0) / 0.7, 2),
+                "extra": {"per_shard": results, "efficiency": eff},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,96 @@ def test_distributed_matches_single(rng):
     rms_d = float(jnp.sqrt(chi2_d.mean()))
     assert abs(rms_s - rms_d) < 0.05, (rms_s, rms_d)
     assert rms_d < 1.0
+
+
+def test_distributed_vi_matches_single(rng):
+    """Landmark-sharded VISUAL-INERTIAL BA must match the single-device
+    solver (IMU system is replicated; one psum per iteration)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ba import _simulate_vi_trajectory, make_world
+
+    from viorb_tpu.imu import ImuNoise, NavState
+    from viorb_tpu.optim import Extrinsics, ImuChain, ViBAState, vi_ba
+    from viorb_tpu.parallel import distributed_vi_ba
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), ("lm",))
+    k = 6
+    navs, pres, g_w = _simulate_vi_trajectory(k)
+    m = 128
+    pts = make_world(rng, m, depth=(5.0, 12.0))
+    ext = Extrinsics.identity()
+    uvs = []
+    for p, v, R in navs:
+        pc = (pts - p) @ R
+        uv = np.asarray(project(CAM, jnp.asarray(pc))).copy()
+        uv += rng.normal(size=uv.shape) * 0.3
+        uvs.append(uv.astype(np.float32))
+    obs = BAObservations(
+        kf_idx=jnp.asarray(np.tile(np.arange(k, dtype=np.int32), (m, 1))),
+        uv=jnp.asarray(np.stack(uvs, 1)),
+        inv_sigma2=jnp.ones((m, k)),
+        valid=jnp.ones((m, k), bool),
+    )
+    ps = np.stack([n[0] for n in navs])
+    vs = np.stack([n[1] for n in navs])
+    Rs = np.stack([n[2] for n in navs])
+    z = np.zeros((k, 3), np.float32)
+    ps_n = ps + rng.normal(size=ps.shape).astype(np.float32) * 0.05
+    vs_n = vs + rng.normal(size=vs.shape).astype(np.float32) * 0.1
+    ps_n[0], vs_n[0] = ps[0], vs[0]
+    nav0 = NavState(
+        jnp.asarray(ps_n), jnp.asarray(vs_n), jnp.asarray(Rs),
+        jnp.asarray(z), jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+    )
+    pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    chain = ImuChain(
+        pre=jax.tree.map(lambda *xs: jnp.stack(xs), *pres),
+        valid=jnp.ones(k - 1, bool),
+        bias_cov_inv_diag=jnp.concatenate(
+            [jnp.full(3, 1.0 / ImuNoise().gyro_bias_rw_var),
+             jnp.full(3, 1.0 / ImuNoise().acc_bias_rw_var)]
+        ) * 0.005,
+    )
+    state = ViBAState(nav0, jnp.asarray(pts0))
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+
+    out_s, chi2_s = vi_ba(
+        state, obs, CAM, ext, chain, jnp.asarray(g_w), fixed, iters=10
+    )
+    from viorb_tpu.parallel import shard_observations
+
+    obs_d = shard_observations(obs, mesh)
+    state_d = ViBAState(
+        nav0, jax.device_put(state.points, obs_d.uv.sharding)
+    )
+    out_d, chi2_d = distributed_vi_ba(
+        state_d, obs_d, CAM, ext, chain, jnp.asarray(g_w), fixed, mesh,
+        iters=10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.nav.p), np.asarray(out_s.nav.p), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.nav.v), np.asarray(out_s.nav.v), atol=1e-2
+    )
+    rms_s = float(jnp.sqrt(chi2_s.mean()))
+    rms_d = float(jnp.sqrt(chi2_d.mean()))
+    assert abs(rms_s - rms_d) < 0.05, (rms_s, rms_d)
+    assert rms_d < 1.0
+
+
+def test_multihost_helpers_single_process():
+    """landmark_mesh ordering + host_local_slice on the virtual CPU mesh
+    (single process: the full range; ordering must be host-major)."""
+    from viorb_tpu.parallel import host_local_slice, initialize, landmark_mesh
+
+    assert initialize() is False  # no coordinator configured: no-op
+    mesh = landmark_mesh()
+    devs = list(mesh.devices.ravel())
+    assert len(devs) == len(jax.devices())
+    procs = [d.process_index for d in devs]
+    assert procs == sorted(procs)  # host-major order
+    sl = host_local_slice(len(devs) * 4, mesh)
+    assert (sl.start, sl.stop) == (0, len(devs) * 4)
