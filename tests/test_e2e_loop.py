@@ -21,7 +21,12 @@ N_FRAMES = 100
 
 @pytest.fixture(scope="module")
 def circuit():
-    seq = make_sequence(n_frames=N_FRAMES, seed=0, dt=0.1, kind="circuit")
+    # pixel noise matters: noise-free ray-cast frames localize keypoints so
+    # precisely that a 100-frame circuit barely drifts, leaving a loop
+    # closure nothing to repair (and its own measurement noise dominating)
+    seq = make_sequence(
+        n_frames=N_FRAMES, seed=0, dt=0.1, kind="circuit", noise_std=4.0
+    )
     ex = OrbExtractor(n_features=600)
     descs = []
     for i in range(0, N_FRAMES, 12):

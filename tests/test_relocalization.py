@@ -113,3 +113,28 @@ def test_vi_relocalization_with_bias_recompute():
             traj[m, 0], traj[m, 1:4], seq.timestamps, seq.c_w, with_scale=False
         )
         assert rmse < 0.30, f"post-recovery metric ATE {rmse:.3f}"
+
+
+def test_track_reference_keyframe_fallback():
+    """When the motion-model projection match collapses (corrupted
+    velocity), tracking must recover by descriptor-matching against the
+    reference keyframe WITHOUT a vocabulary (reference
+    Tracking::TrackReferenceKeyFrame; reloc is impossible here, proving
+    the fallback path did the work)."""
+    seq = make_sequence(n_frames=30, seed=0, dt=0.1)
+    slam = MonoSlam(seq.cam, n_features=800)  # no vocabulary -> no reloc
+    states = []
+    for i, (img, ts) in enumerate(zip(seq.images, seq.timestamps)):
+        if i == 20 and slam.state == "OK":
+            # corrupt the constant-velocity model: prediction lands far
+            # from the true pose, so projection matching finds nothing
+            R_bad = np.array(
+                [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                np.float32,
+            )
+            slam.velocity = (R_bad, np.array([5.0, 5.0, 5.0], np.float32))
+        info = slam.process_frame(img, float(ts))
+        states.append(info["state"])
+    assert states[19] == "OK"
+    assert states[20] == "OK", states  # recovered in the same frame
+    assert states[-1] == "OK"

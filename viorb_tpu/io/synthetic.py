@@ -58,8 +58,12 @@ def _make_texture(rng, size=512, octaves=4) -> np.ndarray:
     return tex.astype(np.float32)
 
 
-def default_room(seed: int = 0) -> List[Plane]:
-    """A 10x8x4 m room around the origin; camera starts at origin looking +z."""
+def default_room(seed: int = 0, closed: bool = False) -> List[Plane]:
+    """A 10x8x4 m room around the origin; camera starts at origin looking +z.
+
+    closed=True adds a back wall at z=-6 so full-turn trajectories (the
+    loop-closure circuit) always face texture; forward-looking sequences
+    never see it, so the open room stays render-identical."""
     rng = np.random.default_rng(seed)
     ex = np.array([1.0, 0, 0])
     ey = np.array([0, 1.0, 0])
@@ -76,6 +80,13 @@ def default_room(seed: int = 0) -> List[Plane]:
         # ceiling y=-3
         Plane(np.array([0.0, -3.0, 0.0]), ex, ez, 12.0, 14.0, _make_texture(rng)),
     ]
+    if closed:
+        planes.append(
+            # back wall at z=-6
+            Plane(
+                np.array([0.0, 0.0, -6.0]), ex, ey, 12.0, 8.0, _make_texture(rng)
+            )
+        )
     return planes
 
 
@@ -233,6 +244,35 @@ class SyntheticImu(NamedTuple):
     velocity: np.ndarray  # (S,3) ground-truth world velocity at samples
 
 
+def _arc_pose_params(ts: np.ndarray):
+    """The 'arc' trajectory's exact pose spline, shared by the renderer
+    (make_trajectory) and the analytic IMU (make_imu).
+
+    Rotational excitation matters: with gentle rotation, accel bias +
+    gravity tilt absorb a global scale error almost exactly (the classic
+    VI degeneracy — measured: a 7.5% scale error cost the IMU chain
+    nothing at ±0.15 rad yaw), so the amplitudes here are EuRoC-MAV-like.
+    """
+    cs = np.stack(
+        [
+            1.2 * np.sin(0.5 * ts),
+            0.3 * np.sin(0.9 * ts + 0.4),
+            0.6 * (1 - np.cos(0.45 * ts)),
+        ],
+        axis=1,
+    )
+    yaw = 0.35 * np.sin(0.7 * ts)
+    pitch = 0.18 * np.sin(0.9 * ts + 0.2)
+    roll = 0.12 * np.sin(1.1 * ts + 0.7)
+    rs = np.stack(
+        [
+            _rodrigues_np(np.array([p, y, r_]))
+            for y, p, r_ in zip(yaw, pitch, roll)
+        ]
+    )
+    return rs, cs
+
+
 def make_imu(
     n_frames: int,
     frame_dt: float,
@@ -251,22 +291,7 @@ def make_imu(
     h = 1.0 / 2000.0
     tt = np.arange(0.0, t_end + h, h)
 
-    def pose_at(ts):
-        m = len(ts)
-        cs = np.stack(
-            [
-                1.2 * np.sin(0.5 * ts),
-                0.3 * np.sin(0.9 * ts + 0.4),
-                0.6 * (1 - np.cos(0.45 * ts)),
-            ],
-            axis=1,
-        )
-        yaw = 0.15 * np.sin(0.7 * ts)
-        pitch = 0.06 * np.sin(0.5 * ts + 0.2)
-        rs = np.stack([_rodrigues_np(np.array([p, y, 0.0])) for y, p in zip(yaw, pitch)])
-        return rs, cs
-
-    R, c = pose_at(tt)
+    R, c = _arc_pose_params(tt)
     v = np.gradient(c, h, axis=0)
     a_w = np.gradient(v, h, axis=0)
     # body rates: omega_hat = R^T dR/dt
@@ -339,24 +364,25 @@ def make_trajectory(
             ],
             axis=1,
         ).astype(np.float32)
-        yaw = 0.25 * np.sin(th)
+        # full-turn yaw: the camera pans through 2*pi around the circuit so
+        # views DECORRELATE along the loop (mid-circuit frames face other
+        # walls). Without the turn every keyframe stays covisible with
+        # every other and no loop-closure topology ever exists — the map
+        # is one covisibility blob and DetectLoop correctly finds nothing.
+        # Composed as R_y(yaw) @ R_x(pitch) (a single rotvec is degenerate
+        # near |v| = 2*pi).
+        yaw = th
         pitch = 0.08 * np.sin(2 * th + 0.3)
-        rs = [
-            _rodrigues_np(np.array([p, y, 0.0])) for y, p in zip(yaw, pitch)
-        ]
+        rs = []
+        for y, p in zip(yaw, pitch):
+            cy, sy = np.cos(y), np.sin(y)
+            cp, sp = np.cos(p), np.sin(p)
+            r_yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            r_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+            rs.append(r_yaw @ r_pitch)
         return np.stack(rs).astype(np.float32), cs
-    cs = np.stack(
-        [
-            1.2 * np.sin(0.5 * ts),
-            0.3 * np.sin(0.9 * ts + 0.4),
-            0.6 * (1 - np.cos(0.45 * ts)),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    yaw = 0.15 * np.sin(0.7 * ts)
-    pitch = 0.06 * np.sin(0.5 * ts + 0.2)
-    rs = [_rodrigues_np(np.array([p, y, 0.0])) for y, p in zip(yaw, pitch)]
-    return np.stack(rs).astype(np.float32), cs
+    rs, cs = _arc_pose_params(ts)
+    return rs.astype(np.float32), cs.astype(np.float32)
 
 
 def make_sequence(
@@ -367,18 +393,24 @@ def make_sequence(
     cache_dir: str = "/root/repo/.synth_cache",
     with_depth: bool = False,
     kind: str = "arc",
+    noise_std: float = 0.0,
 ):
     """Rendered sequence with disk caching (rendering is jitted and batched;
     a cached 60-frame 752x480 sequence loads in <1s). with_depth=True
-    returns (SyntheticSequence, [depth images]) for the RGB-D pipeline."""
+    returns (SyntheticSequence, [depth images]) for the RGB-D pipeline.
+
+    noise_std > 0 adds seeded per-frame Gaussian pixel noise AFTER the
+    cache (ray-cast frames are noise-free, so keypoints localize to
+    unrealistic sub-pixel accuracy and a mono run barely drifts; sensor
+    noise restores realistic drift for loop-closure tests)."""
     import os
 
     cam = cam or PinholeCamera(
         fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
     )
     os.makedirs(cache_dir, exist_ok=True)
-    kind_tag = "" if kind == "arc" else f"_{kind}"
-    tag = f"seq_v3_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}{kind_tag}"
+    kind_tag = "" if kind == "arc" else f"_{kind}2"
+    tag = f"seq_v4_{n_frames}_{seed}_{dt}_{cam.width}x{cam.height}_{cam.fx}{kind_tag}"
     path = os.path.join(cache_dir, tag + ".npz")
     r_wc, c_w = make_trajectory(n_frames, dt, kind=kind)
     if os.path.exists(path):
@@ -395,7 +427,7 @@ def make_sequence(
         # kernels + per-chunk syncs pathologically slow.
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            planes = default_room(seed)
+            planes = default_room(seed, closed=(kind == "circuit"))
             arrays = _stack_planes(planes)
             fn = _get_render_fn(cam)
             batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
@@ -416,6 +448,16 @@ def make_sequence(
         np.savez_compressed(
             path, images=np.stack(images), depths=np.stack(depths)
         )
+    if noise_std > 0.0:
+        nrng = np.random.default_rng(seed + 991)
+        images = [
+            np.clip(
+                im + nrng.normal(0.0, noise_std, im.shape).astype(np.float32),
+                0.0,
+                255.0,
+            ).astype(im.dtype)
+            for im in images
+        ]
     seq = SyntheticSequence(
         images=images,
         r_wc=r_wc,
@@ -446,7 +488,7 @@ def make_stereo_sequence(
         fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
     )
     seq = make_sequence(n_frames, cam=cam, seed=seed, dt=dt, cache_dir=cache_dir)
-    tag = f"stereoR_v1_{n_frames}_{seed}_{dt}_{baseline}_{cam.width}x{cam.height}_{cam.fx}"
+    tag = f"stereoR_v2_{n_frames}_{seed}_{dt}_{baseline}_{cam.width}x{cam.height}_{cam.fx}"
     path = os.path.join(cache_dir, tag + ".npz")
     # right camera centers: c + r_wc @ [b,0,0]
     offs = np.einsum("tij,j->ti", seq.r_wc, np.array([baseline, 0, 0], np.float32))

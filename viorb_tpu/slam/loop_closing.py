@@ -45,6 +45,13 @@ class LoopCloser:
         self.loops_closed = 0
         self.cam = cam  # enables guided-projection confirm + Sim3 refine
         self.min_confirm_matches = min_confirm_matches
+        # post-correction cooldown: the reference skips detection for 10
+        # keyframes after a closure (src/LoopClosing.cc DetectLoop's
+        # mLastLoopKFid+10 guard) — back-to-back re-closures of the same
+        # revisit re-correct an already-consistent map and can latch onto
+        # a degenerate Sim3
+        self.loop_cooldown = 10
+        self.last_loop_kf = -(10**9)
         # post-loop global BA callback, set by the owning pipeline
         # (reference RunGlobalBundleAdjustment, src/LoopClosing.cc:674-819)
         self.gba_fn = None
@@ -66,16 +73,17 @@ class LoopCloser:
         kf = self.map.keyframes[kf_id]
         if kf.bow is None:
             return None
+        if kf_id < self.last_loop_kf + self.loop_cooldown:
+            return None
         cov = self.map.covisibility_weights(kf_id)
         covisible = {k for k, w in cov.items() if w >= 15}
-        if covisible:
-            min_score = min(
-                BinaryVocabulary.score(kf.bow, self.map.keyframes[k].bow)
-                for k in covisible
-                if self.map.keyframes[k].bow is not None
-            )
-        else:
-            min_score = 0.05
+        neigh_scores = [
+            BinaryVocabulary.score(kf.bow, self.map.keyframes[k].bow)
+            for k in covisible
+            if self.map.keyframes[k].bow is not None
+        ]
+        # neighbours may have no BoW yet (async mapping lag)
+        min_score = min(neigh_scores) if neigh_scores else 0.05
         cands = self.db.detect_loop_candidates(
             kf_id, kf.bow, covisible, max(min_score, 0.01)
         )
@@ -136,6 +144,11 @@ class LoopCloser:
             inlier_th=0.1, min_inliers=self.min_matches,
         )
         if not bool(out.success):
+            return None
+        # mono scale drift within one loop stays far from 2x; a Sim3 with
+        # extreme scale is a degenerate fit (coplanar/clustered pairs),
+        # not a real closure
+        if not (0.5 < float(out.s) < 2.0):
             return None
         s12 = float(out.s)
         r12 = np.asarray(out.r)
@@ -354,6 +367,7 @@ class LoopCloser:
         if self.gba_fn is not None:
             self.gba_fn(cand_id)
         self.loops_closed += 1
+        self.last_loop_kf = kf_id
         return True
 
     # -- entry -------------------------------------------------------------

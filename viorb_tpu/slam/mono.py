@@ -125,6 +125,11 @@ class MonoSlam:
             self.loop_closer.gba_fn = self._post_loop_gba
             self.enable_loop_closing = enable_loop_closing
         self.lost_frames = 0
+        # localization-only: track against the existing map, never insert
+        # keyframes or modify the map (reference
+        # System::ActivateLocalizationMode -> Tracking::mbOnlyTracking,
+        # src/Tracking.cc:908-1010)
+        self.localization_only = False
         # async mapping worker (reference LocalMapping thread)
         self.async_mapping = async_mapping
         self.map_lock = threading.RLock()
@@ -162,6 +167,12 @@ class MonoSlam:
         fr = self._make_frame(image, ts)
         if self.state == "NOT_INITIALIZED":
             self._try_initialize(fr)
+        elif self.last_frame is None or self.last_frame.r_cw is None:
+            # no motion-model anchor (e.g. resumed from a loaded map):
+            # relocalize into the existing map first
+            if not self._relocalize(fr):
+                self.state = "LOST"
+                self.n_tracked = 0
         else:
             self._track(fr)
         self._record_trajectory(fr, ts)
@@ -338,11 +349,31 @@ class MonoSlam:
         pf = np.asarray(point_for_feat)
         matched_feats = np.nonzero(pf >= 0)[0]
         if len(matched_feats) < 10:
-            if self._relocalize(fr):
+            # motion-model projection failed: fall back to descriptor
+            # matching against the reference keyframe (reference
+            # Tracking::TrackReferenceKeyFrame, src/Tracking.cc velocity-
+            # model-empty / <20-matches branch), then relocalization.
+            # On fallback success the corrected pose re-seeds the local-map
+            # projection and tracking falls THROUGH to the normal pose-opt
+            # + keyframe decision (the reference likewise follows
+            # TrackReferenceKeyFrame with TrackLocalMap + NeedNewKeyFrame —
+            # an early return here starves the map of keyframes and decays
+            # into permanent fallback).
+            recovered = self._track_reference_keyframe(fr)
+            if recovered:
+                point_for_feat, res, n, visible = run_match(15.0)
+                pf = np.asarray(point_for_feat)
+                matched_feats = np.nonzero(pf >= 0)[0]
+            if len(matched_feats) < 10:
+                if recovered:
+                    # keep the fallback's reference-KF matches
+                    self._track_epilogue(fr)
+                    return
+                if self._relocalize(fr):
+                    return
+                self.state = "LOST"
+                self.n_tracked = 0
                 return
-            self.state = "LOST"
-            self.n_tracked = 0
-            return
 
         # pose-only optimization over the matches
         nf = fr.xy.shape[0]
@@ -366,6 +397,9 @@ class MonoSlam:
         inl = np.asarray(inlier)
         self.n_tracked = int(inl.sum())
         if self.n_tracked < 10:
+            if self._track_reference_keyframe(fr):
+                self._track_epilogue(fr)
+                return
             if self._relocalize(fr):
                 return
             self.state = "LOST"
@@ -384,9 +418,13 @@ class MonoSlam:
                 ok_alive = ok_feats[self.map.pt_active[fr.point_idx[ok_feats]]]
                 self.map.pt_found[fr.point_idx[ok_alive]] += 1
 
-        # velocity model update
+        self._track_epilogue(fr)
+
+    def _track_epilogue(self, fr: FrameRecord):
+        """Velocity-model update + keyframe decision; shared by the
+        motion-model path and the reference-keyframe fallback."""
         last = self.last_frame
-        if last.r_cw is not None:
+        if last is not None and last.r_cw is not None:
             Rl_inv = last.r_cw.T
             tl_inv = -Rl_inv @ last.t_cw
             self.velocity = (
@@ -403,9 +441,80 @@ class MonoSlam:
             self.frames_since_kf >= self.kf_max_interval
             or self.n_tracked < 0.6 * max(ref_tracked, 1)
         ) and self.n_tracked > 15
-        if need and not getattr(self, "suppress_keyframes", False):
+        if (
+            need
+            and not getattr(self, "suppress_keyframes", False)
+            and not self.localization_only
+        ):
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
+
+    def _track_reference_keyframe(self, fr: FrameRecord) -> bool:
+        """Wide descriptor matching against the reference keyframe's
+        map-point features, then pose-only optimization seeded from the
+        predicted pose (reference Tracking::TrackReferenceKeyFrame — ours
+        matches by raw descriptors on the MXU instead of BoW
+        direct-index buckets, which a batched Hamming matmul makes
+        unnecessary)."""
+        if self.last_kf_id < 0:
+            return False
+        with self.map_lock:
+            kf = self.map.keyframes.get(self.last_kf_id)
+            if kf is None:
+                return False
+            has = (kf.point_idx >= 0) & kf.valid
+            if has.sum() < 15:
+                return False
+            pt_ids = kf.point_idx.copy()
+            pts_xyz = self.map.pt_xyz.copy()
+        d_k = jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1
+        dist = hamming_matrix(d_k, fr.desc_pm1)
+        gate = valid_gate(jnp.asarray(has), jnp.asarray(fr.valid))
+        res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.85, mutual=True)
+        rot_ok = rotation_consistency_mask(
+            jnp.asarray(kf.angle), jnp.asarray(fr.angle), res.idx
+        )
+        idx = np.asarray(jnp.where(rot_ok, res.idx, -1))
+        mk = np.nonzero(idx >= 0)[0]
+        if len(mk) < 15:
+            return False
+        mf = idx[mk]
+        nf = fr.xy.shape[0]
+        pts = np.zeros((nf, 3), np.float32)
+        valid = np.zeros(nf, bool)
+        inv_s2 = np.ones(nf, np.float32)
+        pts[mf] = pts_xyz[pt_ids[mk]]
+        valid[mf] = True
+        inv_s2[mf] = 1.0 / self.sigma2[fr.level[mf]]
+        obs = PoseObs(
+            points=jnp.asarray(pts), uv=jnp.asarray(fr.xy),
+            inv_sigma2=jnp.asarray(inv_s2), valid=jnp.asarray(valid),
+        )
+        # seed from the last successfully tracked pose, not the (possibly
+        # corrupted) motion-model prediction (reference seeds with
+        # mLastFrame.mTcw)
+        last = self.last_frame
+        if last is not None and last.r_cw is not None:
+            r_seed, t_seed = last.r_cw, last.t_cw
+        else:
+            r_seed, t_seed = kf.r_cw, kf.t_cw
+        R_opt, t_opt, inlier = pose_optimization_tcw(
+            jnp.asarray(r_seed), jnp.asarray(t_seed), obs, self.cam
+        )
+        inl = np.asarray(inlier)
+        if int(inl.sum()) < 10:
+            return False
+        fr.r_cw = np.asarray(R_opt)
+        fr.t_cw = np.asarray(t_opt)
+        # map feature->point: mf[i] -> pt_ids[mk[i]]
+        feat_to_pt = np.full(nf, -1, np.int32)
+        feat_to_pt[mf] = pt_ids[mk]
+        fr.point_idx = np.where(inl & (feat_to_pt >= 0), feat_to_pt, -1).astype(
+            np.int32
+        )
+        self.n_tracked = int(inl.sum())
+        self.state = "OK"
+        return True
 
     def _relocalize(self, fr: FrameRecord) -> bool:
         """BoW candidates -> descriptor matching to candidate map points ->
@@ -584,7 +693,54 @@ class MonoSlam:
             if self.loop_closer is not None:
                 from viorb_tpu.slam.loop_closing import LoopCloser
 
-                self.loop_closer = LoopCloser(self.map, self.vocabulary)
+                self.loop_closer = LoopCloser(
+                    self.map, self.vocabulary, cam=self.cam
+                )
+                self.loop_closer.gba_fn = self._post_loop_gba
+
+    def set_localization_mode(self, enabled: bool):
+        """Track against the frozen map without inserting keyframes
+        (reference System::ActivateLocalizationMode /
+        DeactivateLocalizationMode, include/System.h:99-104)."""
+        self.wait_mapping_idle()
+        self.localization_only = enabled
+
+    def save_map(self, path: str):
+        """Checkpoint the full map to one .npz (the reference left
+        SaveMap/LoadMap as a TODO, include/System.h:132-134)."""
+        from viorb_tpu.mapping.serialize import save_map
+
+        self.wait_mapping_idle()
+        with self.map_lock:
+            save_map(self.map, path)
+
+    def load_map(self, path: str, localization_only: bool = True):
+        """Load a checkpointed map and resume from it. The next frame
+        relocalizes into the loaded map (BoW + PnP); with
+        localization_only the map stays frozen, otherwise mapping
+        continues from the loaded keyframes."""
+        from viorb_tpu.mapping.serialize import load_map
+
+        self.wait_mapping_idle()
+        with self.map_lock:
+            self.map = load_map(path)
+            active = self.map.kf_ids()
+            self.last_kf_id = max(active) if active else -1
+            self.state = "LOST" if active else "NOT_INITIALIZED"
+            self.last_frame = None
+            self.ref_frame = None
+            self.velocity = None
+            self.frames_since_kf = 0
+            self.localization_only = localization_only
+            if self.loop_closer is not None:
+                from viorb_tpu.slam.loop_closing import LoopCloser
+
+                self.loop_closer = LoopCloser(
+                    self.map, self.vocabulary, cam=self.cam
+                )
+                self.loop_closer.gba_fn = self._post_loop_gba
+                for k in active:
+                    self.loop_closer.add_keyframe(k)
 
     def _triangulate_with(self, kf_id: int, nb_id: int):
         kf = self.map.keyframes[kf_id]
@@ -731,21 +887,24 @@ class MonoSlam:
             1,
         )
 
-    def _local_ba(self, window: List[int], fixed: List[int]):
+    def _local_ba(
+        self, window: List[int], fixed: List[int], max_landmarks: int = 0
+    ):
+        max_landmarks = max_landmarks or self.max_ba_landmarks
         with self.map_lock:
             window = [k for k in window if k in self.map.keyframes]
             fixed = [k for k in fixed if k in self.map.keyframes]
             if len(window) < 2:
                 return
             kf_list, pt_ids, kf_idx, uv, inv_s2, valid = self.map.build_ba_problem(
-                window, fixed, self.max_ba_landmarks
+                window, fixed, max_landmarks
             )
             if len(pt_ids) == 0:
                 return
             k = len(kf_list)
             r_cw = np.stack([self.map.keyframes[i].r_cw for i in kf_list])
             t_cw = np.stack([self.map.keyframes[i].t_cw for i in kf_list])
-            points = np.zeros((self.max_ba_landmarks, 3), np.float32)
+            points = np.zeros((max_landmarks, 3), np.float32)
             points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
             fixed_mask = np.array([i in fixed for i in kf_list])
         state = VisionBAState(
@@ -760,7 +919,7 @@ class MonoSlam:
         bf = getattr(self, "bf", None)  # set by StereoSlam
         if bf is not None:
             ur, urv = self.map.build_stereo_ur_grid(
-                pt_ids, kf_list, self.max_ba_landmarks
+                pt_ids, kf_list, max_landmarks
             )
             obs = obs._replace(ur=jnp.asarray(ur), ur_valid=jnp.asarray(urv))
         out, obs2 = vision_ba_two_phase(
@@ -796,7 +955,15 @@ class MonoSlam:
         ids = sorted(self.map.keyframes.keys())
         if len(ids) < 3:
             return
-        self._local_ba(ids, fixed=[anchor_kf])
+        # the GLOBAL solve must cover every active landmark: refining the
+        # poses against a truncated point subset leaves the rest of the
+        # map inconsistent with the new poses, and subsequent local BAs
+        # drag the trajectory back toward the stale points (measured:
+        # post-loop KF ATE 0.012 -> 0.045 over 15 frames with a 2048 cap
+        # on a 4110-point map)
+        n_pts = int(self.map.pt_active.sum())
+        cap = max(self.max_ba_landmarks, 1 << int(np.ceil(np.log2(max(n_pts, 1)))))
+        self._local_ba(ids, fixed=[anchor_kf], max_landmarks=cap)
 
     def _can_cull(self, k: int) -> bool:
         """Subclass veto hook (VI adds preintegration time-gap guards)."""
