@@ -142,6 +142,112 @@ def main():
     inl = np.asarray(jnp.stack(outs[: len(order)]))
     assert inl.min() > 30, f"tracking degenerate: min inliers {inl.min()}"
 
+    # ---- kernel-level breakdown (each fenced by a small pull; the
+    # reference's per-stage timers: ORB extraction, matcher, pose LM,
+    # local-BA its/s per src/LocalMapping.cc:1067-1078) ----
+    extra = {}
+    reps = 20
+
+    def timeit(fn, pull):
+        """Per-call ms via a two-length difference: each timed run ends
+        with ONE small device->host pull (the only fence that works over
+        the tunnel), whose 0.1-1 s cost would otherwise pollute ms-scale
+        kernels; timing reps and 3*reps and differencing cancels it."""
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            _ = np.asarray(pull())
+            return time.perf_counter() - t0
+
+        fn()  # warm (compile)
+        _ = np.asarray(pull())
+        t_a = run(reps)
+        t_b = run(3 * reps)
+        return max(t_b - t_a, 1e-6) / (2 * reps) * 1000.0
+
+    img = images[1]
+    feats_box = {}
+
+    def do_extract():
+        feats_box["f"] = extractor.extract(img)
+
+    extra["extract_ms"] = round(
+        timeit(do_extract, lambda: feats_box["f"].valid[0:1]), 2
+    )
+
+    from viorb_tpu.slam.kernels import match_by_projection
+
+    fr = feats_box["f"]
+    xy_f = undistort_points(cam, fr.xy)
+    out_box = {}
+
+    def do_match():
+        out_box["m"] = match_by_projection(
+            dmap.xyz, dmap.desc_pm1, dmap.valid, dmap.normal, dmap.dmin,
+            dmap.dmax, carry.r_cw, carry.t_cw, xy_f,
+            fr.descriptors_pm1(), fr.valid, cam, jnp.float32(15.0),
+        )
+
+    extra["match_ms"] = round(timeit(do_match, lambda: out_box["m"][2]), 2)
+
+    from viorb_tpu.optim import PoseObs, pose_optimization_tcw
+
+    pf = out_box["m"][0]
+    n_feat = xy_f.shape[0]
+    obs = PoseObs(
+        points=dmap.xyz[jnp.maximum(pf, 0)],
+        uv=xy_f,
+        inv_sigma2=jnp.ones(n_feat),
+        valid=(pf >= 0) & fr.valid,
+    )
+
+    def do_pose():
+        out_box["p"] = pose_optimization_tcw(carry.r_cw, carry.t_cw, obs, cam)
+
+    extra["pose_lm_ms"] = round(timeit(do_pose, lambda: out_box["p"][1][:1]), 2)
+
+    # local BA throughput: a K=10, M=2048 window solve (LM iterations/s)
+    from viorb_tpu.optim import BAObservations, VisionBAState, vision_ba
+
+    rngb = np.random.default_rng(0)
+    kb, mb, rb = 10, 2048, 8
+    pts_b = np.stack(
+        [rngb.uniform(-4, 4, mb), rngb.uniform(-3, 3, mb), rngb.uniform(4, 10, mb)], 1
+    ).astype(np.float32)
+    r_b = np.broadcast_to(np.eye(3, dtype=np.float32), (kb, 3, 3)).copy()
+    t_b = np.stack(
+        [np.array([0.1 * i, 0, 0], np.float32) for i in range(kb)]
+    )
+    kf_idx_b = rngb.integers(0, kb, (mb, rb)).astype(np.int32)
+    pc = pts_b[:, None, :] + t_b[kf_idx_b]
+    uv_b = np.stack(
+        [
+            cam.fx * pc[..., 0] / pc[..., 2] + cam.cx,
+            cam.fy * pc[..., 1] / pc[..., 2] + cam.cy,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    obs_b = BAObservations(
+        kf_idx=jnp.asarray(kf_idx_b),
+        uv=jnp.asarray(uv_b + rngb.normal(size=uv_b.shape).astype(np.float32) * 0.3),
+        inv_sigma2=jnp.ones((mb, rb)),
+        valid=jnp.ones((mb, rb), bool),
+    )
+    st_b = VisionBAState(
+        jnp.asarray(r_b), jnp.asarray(t_b),
+        jnp.asarray(pts_b + rngb.normal(size=pts_b.shape).astype(np.float32) * 0.03),
+    )
+    fixed_b = jnp.zeros(kb, bool).at[0].set(True)
+    ba_iters = 10
+
+    def do_ba():
+        out_box["ba"] = vision_ba(st_b, obs_b, cam, fixed_b, iters=ba_iters)
+
+    ba_ms = timeit(do_ba, lambda: out_box["ba"][0].t_cw[:1, :1])
+    extra["local_ba_iters_per_s"] = round(ba_iters / (ba_ms / 1000.0), 1)
+
     print(
         json.dumps(
             {
@@ -149,6 +255,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 20.0, 2),
+                "extra": extra,
             }
         )
     )

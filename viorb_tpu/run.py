@@ -38,6 +38,23 @@ def main(argv=None):
     ap.add_argument("--out-kf", default=None)
     ap.add_argument("--out-kitti", default=None)
     ap.add_argument("--n-features", type=int, default=None)
+    ap.add_argument("--init-log-dir", default=None,
+                    help="dump VI-init convergence series here (like the "
+                         "reference's tmp/*.txt; plot with eval.plot_init)")
+    ap.add_argument("--viz-dir", default=None,
+                    help="headless viewer: dump annotated frame + map PNGs "
+                         "here (reference Viewer/FrameDrawer/MapDrawer)")
+    ap.add_argument("--viz-every", type=int, default=10,
+                    help="dump a frame overlay every N frames")
+    ap.add_argument("--stream", choices=["direct", "lockstep", "realtime"],
+                    default="direct",
+                    help="VI ingestion: direct in-loop calls, or through "
+                         "MsgSynchronizer queues in lockstep (every frame, "
+                         "reference ros_vio.cc) or realtime (drop stale "
+                         "frames when behind, ros_vio_realtime.cc)")
+    ap.add_argument("--replay-speed", type=float, default=0.0,
+                    help="stream replay pacing: 1.0 = wall-clock realtime, "
+                         "0 = as fast as possible")
     args = ap.parse_args(argv)
     if args.dataset != "synthetic" and not args.path:
         ap.error(f"--dataset {args.dataset} requires --path <sequence dir>")
@@ -124,6 +141,8 @@ def main(argv=None):
             local_window=cfg.local_window,
             vi_init_min_time=min(cfg.vins_init_time, 3.0),
         )
+        if args.init_log_dir:
+            slam.init_log_dir = args.init_log_dir
     elif args.stereo:
         from viorb_tpu.slam.stereo import StereoSlam
 
@@ -141,6 +160,63 @@ def main(argv=None):
         slam = MonoSlam(
             cfg.camera, n_features=n_features, local_window=cfg.local_window
         )
+
+    viewer = None
+    if args.viz_dir:
+        from viorb_tpu.viz import Viewer
+
+        viewer = Viewer(args.viz_dir, every=args.viz_every)
+
+    if args.vi and args.stream != "direct" and imu_stream is not None:
+        # queue-fed replay through MsgSynchronizer (reference ros_vio
+        # lock-step / ros_vio_realtime drop-when-behind)
+        import threading
+
+        from viorb_tpu.io.stream import MsgSynchronizer, RealtimeRunner
+
+        sync = MsgSynchronizer(image_delay=cfg.image_delay_to_imu)
+        times = []
+
+        def proc(ts_, img_, samples):
+            t0 = time.perf_counter()
+            info = slam.process_frame_vi(
+                img_, float(ts_),
+                [(float(t_), g_, a_) for t_, g_, a_ in samples],
+            )
+            times.append(time.perf_counter() - t0)
+            if viewer is not None:
+                info["ts"] = float(ts_)
+                viewer.on_frame(slam, img_, info)
+            return info
+
+        runner = RealtimeRunner(
+            sync, proc,
+            mode="realtime" if args.stream == "realtime" else "lockstep",
+        ).start()
+        it, ig, ia = imu_stream
+
+        def feed():
+            prev = None
+            k = 0
+            for ts_, img_ in frames:
+                while k < len(it) and it[k] <= ts_ + cfg.image_delay_to_imu:
+                    sync.add_imu(float(it[k]), ig[k], ia[k])
+                    k += 1
+                if args.replay_speed > 0 and prev is not None:
+                    time.sleep(max(0.0, (ts_ - prev) / args.replay_speed))
+                sync.add_image(float(ts_), img_)
+                prev = ts_
+            sync.close()
+
+        threading.Thread(target=feed, daemon=True).start()
+        n_done = runner.join()
+        print(
+            f"stream mode {args.stream}: processed {n_done}/{len(frames)} "
+            f"frames, dropped {sync.n_dropped_images}",
+            file=sys.stderr,
+        )
+        _finish(args, slam, viewer, times, frames)
+        return
 
     times = []
     prev_t = -np.inf
@@ -165,6 +241,9 @@ def main(argv=None):
             info = slam.process_frame(img, float(ts))
         times.append(time.perf_counter() - t0)
         prev_t = ts
+        if viewer is not None:
+            info["ts"] = float(ts)
+            viewer.on_frame(slam, img, info)
         if i % 20 == 0:
             print(
                 f"[{i}/{len(frames)}] {info['state']} tracked={info['n_tracked']} "
@@ -172,13 +251,26 @@ def main(argv=None):
                 file=sys.stderr,
             )
 
+    _finish(args, slam, viewer, times, frames)
+
+
+def _finish(args, slam, viewer, times, frames):
+    from viorb_tpu.io.trajectory import (
+        save_keyframe_trajectory_navstate,
+        save_keyframe_trajectory_tum,
+        save_trajectory_kitti,
+        save_trajectory_tum,
+    )
+
     # per-frame stats like the reference mains
-    ts_sorted = np.sort(times)
+    ts_sorted = np.sort(times) if times else np.array([0.0])
     print(
         f"frames: {len(frames)}  median track time: {np.median(ts_sorted)*1000:.1f} ms  "
-        f"mean: {np.mean(times)*1000:.1f} ms",
+        f"mean: {np.mean(ts_sorted)*1000:.1f} ms",
         file=sys.stderr,
     )
+    if viewer is not None:
+        viewer.finalize(slam)
     save_trajectory_tum(slam, args.out)
     print(f"trajectory saved to {args.out}", file=sys.stderr)
     if args.out_kf:
