@@ -55,3 +55,20 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA:CPU programs; with all of
+    them held live in one process, a later large compile (vi_ba_two_phase
+    in test_e2e_vi) segfaults inside backend_compile_and_load
+    deterministically — the same test passes standalone or after any
+    subset of modules. Dropping the executable/tracing caches per module
+    bounds that accumulation; each module mostly compiles its own programs
+    anyway, so the recompile cost across module boundaries is small."""
+    yield
+    import jax
+
+    jax.clear_caches()

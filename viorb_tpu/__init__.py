@@ -29,13 +29,21 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # across processes.
 import os as _os
 
-# Only for the remote TPU platform: CPU AOT cache entries embed
-# compile-machine flags that trip the loader, and CPU compiles are fast
-# anyway.
-if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+# TPU (axon) only: XLA:CPU persists AOT-compiled machine code whose
+# embedded machine-feature list (incl. pseudo-features like
+# +prefer-no-scatter) does not round-trip reliably — a cached CPU run
+# segfaulted inside backend_compile_and_load reproducibly, and the loader
+# itself warns "could lead to execution errors such as SIGILL". The ~40%
+# repeat-compile saving is not worth a crashing test suite; set
+# VIORB_TPU_JAX_CACHE to opt in explicitly on CPU.
+_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if "axon" in _platforms:
     _cache_dir = _os.environ.get(
         "VIORB_TPU_JAX_CACHE", "/root/repo/.jax_cache/axon"
     )
+else:
+    _cache_dir = _os.environ.get("VIORB_TPU_JAX_CACHE", "")
+if _cache_dir:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
