@@ -55,9 +55,21 @@ def main(argv=None):
     ap.add_argument("--replay-speed", type=float, default=0.0,
                     help="stream replay pacing: 1.0 = wall-clock realtime, "
                          "0 = as fast as possible")
+    ap.add_argument("--save-map", default=None, metavar="NPZ",
+                    help="checkpoint the final map to this .npz")
+    ap.add_argument("--load-map", default=None, metavar="NPZ",
+                    help="resume from a map checkpoint (relocalizes into "
+                         "it on the first frame)")
+    ap.add_argument("--localization-only", action="store_true",
+                    help="track against the (loaded) map without mapping "
+                         "(reference ActivateLocalizationMode)")
     args = ap.parse_args(argv)
     if args.dataset != "synthetic" and not args.path:
         ap.error(f"--dataset {args.dataset} requires --path <sequence dir>")
+    if args.localization_only and not args.load_map:
+        ap.error("--localization-only requires --load-map")
+    if (args.save_map or args.load_map) and (args.vi or args.stereo):
+        ap.error("--save-map/--load-map support the mono/RGB-D pipelines")
 
     from viorb_tpu.io.config import SlamConfig
     from viorb_tpu.io.trajectory import (
@@ -159,6 +171,15 @@ def main(argv=None):
 
         slam = MonoSlam(
             cfg.camera, n_features=n_features, local_window=cfg.local_window
+        )
+
+    if args.load_map:
+        slam.load_map(args.load_map, localization_only=args.localization_only)
+        print(
+            f"resumed from {args.load_map}: {len(slam.map.kf_ids())} keyframes, "
+            f"{int(slam.map.pt_active.sum())} points"
+            + (" (localization-only)" if args.localization_only else ""),
+            file=sys.stderr,
         )
 
     viewer = None
@@ -280,6 +301,9 @@ def _finish(args, slam, viewer, times, frames):
             save_keyframe_trajectory_tum(slam, args.out_kf)
     if args.out_kitti:
         save_trajectory_kitti(slam, args.out_kitti)
+    if args.save_map:
+        slam.save_map(args.save_map)
+        print(f"map checkpoint saved to {args.save_map}", file=sys.stderr)
 
 
 if __name__ == "__main__":

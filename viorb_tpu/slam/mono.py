@@ -519,14 +519,33 @@ class MonoSlam:
     def _relocalize(self, fr: FrameRecord) -> bool:
         """BoW candidates -> descriptor matching to candidate map points ->
         PnP RANSAC -> pose-only refinement (reference:
-        Tracking::Relocalization, src/Tracking.cc:2127-2291)."""
-        if self.loop_closer is None:
-            return False
+        Tracking::Relocalization, src/Tracking.cc:2127-2291).
+
+        Without a vocabulary (e.g. resuming from a map checkpoint in a
+        bare CLI run) candidates come from brute-force mutual descriptor
+        matching against EVERY keyframe — one batched Hamming matmul per
+        keyframe is affordable on the MXU where DBoW2's inverted file was
+        the only viable option for the reference."""
         from viorb_tpu.solvers import pnp_ransac
 
-        _, qbow = self.vocabulary.transform(fr.desc01, fr.valid)
-        cands = self.loop_closer.db.query(qbow, max_results=5)
         d_f = fr.desc_pm1
+        if self.loop_closer is not None:
+            _, qbow = self.vocabulary.transform(fr.desc01, fr.valid)
+            cands = self.loop_closer.db.query(qbow, max_results=5)
+        else:
+            scored = []
+            for kid, kf_c in self.map.keyframes.items():
+                has_c = (kf_c.point_idx >= 0) & kf_c.valid
+                if has_c.sum() < 15:
+                    continue
+                d_c = jnp.asarray(kf_c.desc01, jnp.bfloat16) * 2 - 1
+                res_c = match_with_mask(
+                    hamming_matrix(d_c, d_f),
+                    valid_gate(jnp.asarray(has_c), jnp.asarray(fr.valid)),
+                    max_dist=50.0, ratio=0.85, mutual=True,
+                )
+                scored.append((kid, int((np.asarray(res_c.idx) >= 0).sum())))
+            cands = sorted(scored, key=lambda x: -x[1])[:5]
         for cand_id, score in cands:
             kf = self.map.keyframes.get(cand_id)
             if kf is None:
