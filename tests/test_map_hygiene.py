@@ -92,3 +92,39 @@ def test_fusion_merges_duplicates_on_revisit():
         if {i1, i2} <= set(slam.map.obs_kf[p][slam.map.obs_kf[p] >= 0].tolist())
     )
     assert both > 0.8 * len(pts)
+
+
+def test_spanning_tree_valid_and_persisted(tmp_path):
+    """Every non-root keyframe gets a spanning-tree parent (the older KF
+    sharing the most observations, reference KeyFrame::mpParent); parent
+    walks terminate at a root; culling re-parents orphans; the tree
+    survives a save/load round trip."""
+    from viorb_tpu.io.synthetic import make_sequence
+    from viorb_tpu.mapping.serialize import load_map, save_map
+
+    seq = make_sequence(n_frames=30, seed=0, dt=0.1)
+    slam = MonoSlam(seq.cam, n_features=800, kf_max_interval=3)
+    for img, ts in zip(seq.images, seq.timestamps):
+        slam.process_frame(img, float(ts))
+    ids = sorted(slam.map.keyframes)
+    assert len(ids) >= 5
+    roots = [k for k in ids if slam.map.keyframes[k].parent_kf < 0]
+    assert roots == [ids[0]], f"exactly the first KF is the root: {roots}"
+    for k in ids[1:]:
+        p = slam.map.keyframes[k].parent_kf
+        assert p in slam.map.keyframes, f"kf {k} parent {p} culled but not re-parented"
+        assert p < k, f"kf {k} parent {p} not older"
+        # walk to the root without cycles
+        seen = set()
+        cur = k
+        while cur >= 0:
+            assert cur not in seen, f"cycle at {cur}"
+            seen.add(cur)
+            cur = slam.map.keyframes[cur].parent_kf
+        assert ids[0] in seen
+
+    path = str(tmp_path / "map.npz")
+    save_map(slam.map, path)
+    loaded = load_map(path)
+    for k in ids:
+        assert loaded.keyframes[k].parent_kf == slam.map.keyframes[k].parent_kf

@@ -54,6 +54,9 @@ class KeyFrameData:
     imu_t0: float = 0.0
     prev_kf: int = -1
     next_kf: int = -1
+    # spanning-tree parent: the older keyframe sharing the most map points
+    # (reference KeyFrame::mpParent, include/KeyFrame.h:115-135); -1 = root
+    parent_kf: int = -1
     bow: Optional[np.ndarray] = None  # sparse BoW vector (host)
     active: bool = True
 

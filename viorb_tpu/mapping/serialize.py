@@ -34,11 +34,12 @@ def save_map(m: MapStore, path: str):
     data["_next_kf"] = np.int64(m._next_kf)
     data["max_points"] = np.int64(m.max_points)
     ids = sorted(m.keyframes)
-    meta = np.zeros((len(ids), 6), np.float64)  # id, ts, prev, next, active, imu_t0
+    # id, ts, prev, next, active, imu_t0, parent
+    meta = np.zeros((len(ids), 7), np.float64)
     for row, i in enumerate(ids):
         kf = m.keyframes[i]
         meta[row] = [i, kf.timestamp, kf.prev_kf, kf.next_kf,
-                     float(kf.active), kf.imu_t0]
+                     float(kf.active), kf.imu_t0, kf.parent_kf]
         p = f"kf{i}_"
         data[p + "r_cw"] = kf.r_cw
         data[p + "t_cw"] = kf.t_cw
@@ -95,6 +96,9 @@ def load_map(path: str) -> MapStore:
             ur=z[p + "ur"] if p + "ur" in z else None,
             nav=nav, imu_t0=float(row[5]),
             prev_kf=int(row[2]), next_kf=int(row[3]),
+            # column 6 added with the spanning tree; older checkpoints
+            # predate it
+            parent_kf=int(row[6]) if len(row) > 6 else -1,
             bow=(
                 {int(w): float(v) for w, v in z[p + "bow"]}
                 if p + "bow" in z

@@ -294,7 +294,9 @@ class LoopCloser:
             mt.append(np.asarray(meas[2]))
             w.append(weight)
 
-        # covisibility + temporal edges
+        # covisibility + spanning-tree + temporal edges (the reference's
+        # essential graph: spanning tree, covisibility >= 100, loop edges;
+        # src/Optimizer.cc OptimizeEssentialGraph)
         seen = set()
         for a in ids:
             covw = self.map.covisibility_weights(a)
@@ -302,6 +304,11 @@ class LoopCloser:
                 if cw >= 30 and (b, a) not in seen and b in slot:
                     seen.add((a, b))
                     add_edge(a, b, 1.0)
+        for a in ids:
+            p = self.map.keyframes[a].parent_kf
+            if p in slot and (a, p) not in seen and (p, a) not in seen:
+                seen.add((p, a))
+                add_edge(p, a, 1.0)
         for a, b in zip(ids[:-1], ids[1:]):
             if (a, b) not in seen and (b, a) not in seen:
                 add_edge(a, b, 1.0)

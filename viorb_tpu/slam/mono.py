@@ -241,6 +241,7 @@ class MonoSlam:
         id0 = self.map.add_keyframe(kf0)
         kf1 = self._kf_from_frame(fr)
         id1 = self.map.add_keyframe(kf1)
+        kf1.parent_kf = id0  # spanning-tree root edge
         for i in matched:
             if not inl[i]:
                 continue
@@ -627,6 +628,17 @@ class MonoSlam:
             if kf_id not in self.map.keyframes:
                 return
             cov = self.map.covisibility_weights(kf_id)
+            # spanning-tree parent: older KF with max shared observations
+            # (reference attaches mpParent at LocalMapping acceptance)
+            older = {
+                k: w for k, w in cov.items()
+                if k < kf_id and k in self.map.keyframes
+            }
+            if older:
+                self.map.keyframes[kf_id].parent_kf = max(older, key=older.get)
+            else:
+                prior = [k for k in self.map.keyframes if k < kf_id]
+                self.map.keyframes[kf_id].parent_kf = max(prior, default=-1)
         neighbors = sorted(cov, key=cov.get, reverse=True)[:3]
         for nb in neighbors:
             with self.map_lock:
@@ -1012,9 +1024,18 @@ class MonoSlam:
             redundant = (n_obs >= 4).mean()  # self + 3 others
             if redundant > 0.9:
                 self._on_cull(k)
-                # re-anchor trajectory entries onto the newest keyframe:
-                # T_rel' = T_rel * T_k * T_anchor^{-1}
-                anchor = self.last_kf_id
+                # spanning tree: adopt the culled KF's children to its
+                # parent (reference KeyFrame::SetBadFlag re-parenting)
+                new_parent = kf.parent_kf
+                if new_parent not in self.map.keyframes:
+                    new_parent = self.last_kf_id
+                for other in self.map.keyframes.values():
+                    if other.parent_kf == k:
+                        other.parent_kf = new_parent
+                # re-anchor trajectory entries onto the spanning parent
+                # (the reference's SaveTrajectoryTUM walks to a live
+                # parent): T_rel' = T_rel * T_k * T_anchor^{-1}
+                anchor = new_parent if new_parent >= 0 else self.last_kf_id
                 akf = self.map.keyframes[anchor]
                 r_ak = kf.r_cw @ akf.r_cw.T
                 t_ak = kf.t_cw - r_ak @ akf.t_cw
