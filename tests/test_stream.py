@@ -110,3 +110,34 @@ def test_runner_realtime_drops_when_behind():
     assert seen == sorted(seen)
     assert len(seen) < 30
     assert seen[-1] >= 0.2
+
+
+def test_images_only_stream():
+    """with_imu=False releases frames immediately (the reference's
+    vision-only ROS nodes have no IMU catch-up wait)."""
+    sync = MsgSynchronizer(with_imu=False)
+    sync.add_image(0.1, np.zeros((4, 4), np.float32))
+    sync.add_image(0.2, np.ones((4, 4), np.float32))
+    ts1, img1, samples1 = sync.get_synced(timeout=1.0)
+    assert ts1 == 0.1 and samples1 == []
+    ts2, _, _ = sync.get_synced(timeout=1.0)
+    assert ts2 == 0.2
+    sync.close()
+    assert sync.get_synced(timeout=1.0) is None
+
+
+def test_ate_cli(tmp_path, capsys):
+    """eval.ate CLI reports the reference evaluate_ate_scale.py fields."""
+    from viorb_tpu.eval.ate import main as ate_main
+
+    t = np.arange(10) * 0.1
+    xyz = np.stack([np.sin(t), np.cos(t), t], 1)
+    est = np.column_stack([t, 2.0 * xyz, np.zeros((10, 3)), np.ones(10)])
+    gt = np.column_stack([t, xyz, np.zeros((10, 3)), np.ones(10)])
+    pe, pg = str(tmp_path / "e.txt"), str(tmp_path / "g.txt")
+    np.savetxt(pe, est)
+    np.savetxt(pg, gt)
+    ate_main([pe, pg, "--scale"])
+    out = capsys.readouterr().out
+    assert "absolute_translational_error.rmse 0.000000" in out
+    assert "alignment_scale 0.5" in out

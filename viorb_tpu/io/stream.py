@@ -30,7 +30,10 @@ class MsgSynchronizer:
     check)."""
 
     def __init__(self, image_delay: float = 0.0, discontinuity_s: float = 3.0,
-                 max_images: int = 64):
+                 max_images: int = 64, with_imu: bool = True):
+        # with_imu=False: images-only stream (the reference's vision-only
+        # ROS nodes) — frames release immediately, no IMU catch-up wait
+        self.with_imu = with_imu
         self.image_delay = image_delay
         self.discontinuity_s = discontinuity_s
         self.max_images = max_images
@@ -88,6 +91,8 @@ class MsgSynchronizer:
     def _ready_locked(self) -> bool:
         if not self._images:
             return False
+        if not self.with_imu:
+            return True
         img_ts = self._images[0][0]
         return (
             self._last_imu_ts is not None
@@ -123,6 +128,8 @@ class MsgSynchronizer:
             return img_ts, image, samples
 
     def _ready_for(self, img_ts: float) -> bool:
+        if not self.with_imu:
+            return True
         return (
             self._last_imu_ts is not None
             and self._last_imu_ts >= img_ts + self.image_delay

@@ -188,22 +188,30 @@ def main(argv=None):
 
         viewer = Viewer(args.viz_dir, every=args.viz_every)
 
-    if args.vi and args.stream != "direct" and imu_stream is not None:
+    use_vi_stream = args.vi and imu_stream is not None
+    if args.stream != "direct" and not args.stereo:
         # queue-fed replay through MsgSynchronizer (reference ros_vio
-        # lock-step / ros_vio_realtime drop-when-behind)
+        # lock-step / ros_vio_realtime drop-when-behind; vision-only
+        # nodes are the same loop with an images-only synchronizer)
         import threading
 
         from viorb_tpu.io.stream import MsgSynchronizer, RealtimeRunner
 
-        sync = MsgSynchronizer(image_delay=cfg.image_delay_to_imu)
+        sync = MsgSynchronizer(
+            image_delay=cfg.image_delay_to_imu if use_vi_stream else 0.0,
+            with_imu=use_vi_stream,
+        )
         times = []
 
         def proc(ts_, img_, samples):
             t0 = time.perf_counter()
-            info = slam.process_frame_vi(
-                img_, float(ts_),
-                [(float(t_), g_, a_) for t_, g_, a_ in samples],
-            )
+            if use_vi_stream:
+                info = slam.process_frame_vi(
+                    img_, float(ts_),
+                    [(float(t_), g_, a_) for t_, g_, a_ in samples],
+                )
+            else:
+                info = slam.process_frame(img_, float(ts_))
             times.append(time.perf_counter() - t0)
             if viewer is not None:
                 info["ts"] = float(ts_)
@@ -214,15 +222,16 @@ def main(argv=None):
             sync, proc,
             mode="realtime" if args.stream == "realtime" else "lockstep",
         ).start()
-        it, ig, ia = imu_stream
+        it, ig, ia = imu_stream if use_vi_stream else (None, None, None)
 
         def feed():
             prev = None
             k = 0
             for ts_, img_ in frames:
-                while k < len(it) and it[k] <= ts_ + cfg.image_delay_to_imu:
-                    sync.add_imu(float(it[k]), ig[k], ia[k])
-                    k += 1
+                if use_vi_stream:
+                    while k < len(it) and it[k] <= ts_ + cfg.image_delay_to_imu:
+                        sync.add_imu(float(it[k]), ig[k], ia[k])
+                        k += 1
                 if args.replay_speed > 0 and prev is not None:
                     time.sleep(max(0.0, (ts_ - prev) / args.replay_speed))
                 sync.add_image(float(ts_), img_)
