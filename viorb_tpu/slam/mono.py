@@ -125,6 +125,11 @@ class MonoSlam:
             self.loop_closer.gba_fn = self._post_loop_gba
             self.enable_loop_closing = enable_loop_closing
         self.lost_frames = 0
+        # fused single-dispatch tracking core (built lazily) + a device
+        # snapshot of the padded local map, cached per map epoch so the
+        # steady-state frame loop re-uploads nothing but the image
+        self._track_core = None
+        self._lm_cache = None
         # localization-only: track against the existing map, never insert
         # keyframes or modify the map (reference
         # System::ActivateLocalizationMode -> Tracking::mbOnlyTracking,
@@ -164,17 +169,23 @@ class MonoSlam:
         )
 
     def process_frame(self, image, ts: float) -> dict:
-        fr = self._make_frame(image, ts)
-        if self.state == "NOT_INITIALIZED":
-            self._try_initialize(fr)
-        elif self.last_frame is None or self.last_frame.r_cw is None:
-            # no motion-model anchor (e.g. resumed from a loaded map):
-            # relocalize into the existing map first
-            if not self._relocalize(fr):
-                self.state = "LOST"
-                self.n_tracked = 0
+        if (
+            self.state != "NOT_INITIALIZED"
+            and self.last_frame is not None
+            and self.last_frame.r_cw is not None
+        ):
+            # steady-state: one fused dispatch + one host pull per frame
+            fr = self._track_fused(image, ts)
         else:
-            self._track(fr)
+            fr = self._make_frame(image, ts)
+            if self.state == "NOT_INITIALIZED":
+                self._try_initialize(fr)
+            else:
+                # no motion-model anchor (e.g. resumed from a loaded map):
+                # relocalize into the existing map first
+                if not self._relocalize(fr):
+                    self.state = "LOST"
+                    self.n_tracked = 0
         self._record_trajectory(fr, ts)
         self.last_frame = fr
         return {
@@ -315,6 +326,106 @@ class MonoSlam:
         dmax[:m] = self.map.pt_max_dist[pts]
         valid[:m] = True
         return pts, xyz, desc, normal, dmin, dmax, valid
+
+    def _device_local_map(self):
+        """Padded local-map arrays as device buffers, cached per map epoch:
+        re-gathered only when mapping publishes an update (map.version
+        bump) or the reference keyframe changes, so the steady-state frame
+        loop uploads nothing but the image."""
+        with self.map_lock:
+            key = (id(self.map), self.map.version, self.last_kf_id)
+            if self._lm_cache is not None and self._lm_cache[0] == key:
+                return self._lm_cache[1], self._lm_cache[2]
+            kf_ids = self._local_kf_ids()
+            pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
+                kf_ids
+            )
+        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
+            valid, jnp.bfloat16
+        )[:, None]
+        dev = (
+            jnp.asarray(xyz),
+            desc_pm1,
+            jnp.asarray(valid),
+            jnp.asarray(normal),
+            jnp.asarray(dmin),
+            jnp.asarray(dmax),
+        )
+        self._lm_cache = (key, pts, dev)
+        return pts, dev
+
+    def _track_fused(self, image, ts: float) -> FrameRecord:
+        """Steady-state tracking as ONE device dispatch + ONE host pull:
+        extraction, projection matching (wide-radius retry via lax.cond)
+        and pose-only LM run fused (tracking_loop.make_pipeline_track_core);
+        the host reads the packed result once for bookkeeping and the
+        keyframe decision. The legacy multi-dispatch `_track` remains the
+        fallback for the rare low-match / low-inlier frames (reference-KF
+        matching -> relocalization -> LOST)."""
+        if self._track_core is None:
+            from viorb_tpu.slam.tracking_loop import make_pipeline_track_core
+
+            self._track_core = make_pipeline_track_core(self.cam, self.extractor)
+        last = self.last_frame
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            r_pred = normalize_np(Rv @ last.r_cw)
+            t_pred = (Rv @ last.t_cw + tv).astype(np.float32)
+        else:
+            r_pred, t_pred = last.r_cw.copy(), last.t_cw.copy()
+        pts, dev = self._device_local_map()
+        feats, xy_d, fdesc, pf_d, r_d, t_d, inl_d, vis_d, _n = self._track_core(
+            jnp.asarray(image), jnp.asarray(r_pred), jnp.asarray(t_pred), *dev
+        )
+        # the frame's single host pull
+        xy, level, angle, desc01, fvalid, pf, r_new, t_new, inl, visible = (
+            jax.device_get(
+                (
+                    xy_d,
+                    feats.level,
+                    feats.angle,
+                    feats.desc01,
+                    feats.valid,
+                    pf_d,
+                    r_d,
+                    t_d,
+                    inl_d,
+                    vis_d,
+                )
+            )
+        )
+        nf = xy.shape[0]
+        fr = FrameRecord(
+            timestamp=ts,
+            xy=xy,
+            level=level,
+            angle=angle,
+            desc01=desc01,
+            valid=fvalid,
+            desc_pm1=fdesc,
+            point_idx=np.full(nf, -1, np.int32),
+        )
+        fr.r_cw, fr.t_cw = r_pred, t_pred
+        matched_feats = np.nonzero(pf >= 0)[0]
+        n_inl = int(inl.sum())
+        if len(matched_feats) < 10 or n_inl < 10:
+            self._track(fr)  # rare: full host-stepped fallback chain
+            return fr
+        fr.r_cw = np.asarray(r_new)
+        fr.t_cw = np.asarray(t_new)
+        self.n_tracked = n_inl
+        self.state = "OK"
+        ok_feats = np.nonzero((pf >= 0) & inl)[0]
+        fr.point_idx[ok_feats] = pts[pf[ok_feats]]
+        if len(pts):
+            with self.map_lock:
+                vis = visible[: len(pts)]
+                alive = self.map.pt_active[pts]
+                self.map.pt_visible[pts[vis & alive[: len(vis)]]] += 1
+                ok_alive = ok_feats[self.map.pt_active[fr.point_idx[ok_feats]]]
+                self.map.pt_found[fr.point_idx[ok_alive]] += 1
+        self._track_epilogue(fr)
+        return fr
 
     def _track(self, fr: FrameRecord):
         self._predict_pose(fr)

@@ -102,6 +102,54 @@ def make_tracking_scan(cam: PinholeCamera, extractor: OrbExtractor):
     return run
 
 
+def make_pipeline_track_core(cam: PinholeCamera, extractor: OrbExtractor):
+    """One-dispatch tracking core for the FULL SLAM pipeline (mutable
+    map): extraction + undistortion + projection matching (with the
+    wide-radius retry as a lax.cond instead of a host round trip) +
+    pose-only LM, fused into a single jitted program.
+
+    The host pulls the packed result ONCE per frame for map bookkeeping
+    and the keyframe decision — versus the legacy path's four dispatch+
+    sync phases (extract, match, maybe re-match, pose LM). This is the
+    pipeline counterpart of the reference's tracking-thread frame loop
+    (src/Tracking.cc GrabImageMonocular -> Track), restructured so the
+    whole per-frame compute graph is one XLA program.
+
+    Map arrays arrive padded to a static capacity (MonoSlam.
+    _gather_local_points), so the program compiles once per
+    (image, capacity) shape, not per map size.
+    """
+    sigma2 = jnp.asarray(extractor.level_sigma2())
+
+    @jax.jit
+    def core(image, r_pred, t_pred, xyz, desc_pm1, valid, normal, dmin, dmax):
+        feats = extractor._extract(image)
+        xy = undistort_points(cam, feats.xy)
+        fdesc = feats.descriptors_pm1()
+
+        def run_match(radius):
+            return match_by_projection(
+                xyz, desc_pm1, valid, normal, dmin, dmax,
+                r_pred, t_pred, xy, fdesc, feats.valid, cam,
+                jnp.float32(radius),
+            )
+
+        out15 = run_match(15.0)
+        pf, _res, nmatch, visible = jax.lax.cond(
+            out15[2] < 20, lambda: run_match(30.0), lambda: out15
+        )
+        obs = PoseObs(
+            points=xyz[jnp.clip(pf, 0)],
+            uv=xy,
+            inv_sigma2=1.0 / sigma2[feats.level],
+            valid=pf >= 0,
+        )
+        r_new, t_new, inlier = pose_optimization_tcw(r_pred, t_pred, obs, cam)
+        return feats, xy, fdesc, pf, r_new, t_new, inlier, visible, nmatch
+
+    return core
+
+
 def identity_carry() -> TrackCarry:
     return TrackCarry(
         jnp.eye(3, dtype=jnp.float32),
