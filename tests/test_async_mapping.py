@@ -41,6 +41,51 @@ def test_async_mapping_matches_lockstep(sequence):
         slam.shutdown()
 
 
+def test_tracking_latency_and_kf_gating_under_slow_mapping(sequence):
+    """With the mapping job artificially slowed, (a) tracking frames must
+    not serialize with the worker — keyframe insertion only queues — and
+    (b) the queue-depth gate in NeedNewKeyFrame must stop KF production
+    from outrunning the worker (VERDICT r2 items 2 and 9)."""
+    import time
+
+    seq = sequence
+    slam = MonoSlam(
+        seq.cam, n_features=800, kf_max_interval=5, async_mapping=True
+    )
+    delay = 1.0
+    orig_job = slam._mapping_job
+
+    def slow_job(kf_id):
+        time.sleep(delay)
+        orig_job(kf_id)
+
+    slam._mapping_job = slow_job
+    try:
+        lat = []
+        kf_events = []
+        for img, ts in zip(seq.images, seq.timestamps):
+            n_before = len(slam.map.keyframes)
+            t0 = time.perf_counter()
+            slam.process_frame(img, float(ts))
+            lat.append(time.perf_counter() - t0)
+            kf_events.append(len(slam.map.keyframes) > n_before)
+        # frames that inserted a keyframe only QUEUE the job: their
+        # latency must not include the worker's delay
+        kf_lat = [l for l, e in zip(lat, kf_events) if e]
+        assert kf_lat, "no keyframes inserted"
+        assert np.median(kf_lat) < delay, (
+            f"KF-inserting frames serialized with mapping: {np.median(kf_lat):.2f}s"
+        )
+        # KF production bounded by the interval cap + queue gate: with the
+        # gate the ratio trigger cannot fire while the worker is behind
+        n_kf = sum(kf_events)
+        assert n_kf <= len(seq.images) / slam.kf_max_interval + 3, (
+            f"KF blowup under slow mapping: {n_kf}"
+        )
+    finally:
+        slam.shutdown()
+
+
 def test_async_worker_clean_shutdown(sequence):
     seq = sequence
     slam = MonoSlam(seq.cam, n_features=800, async_mapping=True)

@@ -49,6 +49,21 @@ def _run(seq, vocab, close_loops: bool):
     return slam
 
 
+def _tail_rmse_globally_aligned(traj, gt_t, gt_xyz, t_close):
+    """Tail RMSE under the WHOLE-trajectory Sim3 alignment. Aligning the
+    tail segment by itself would hide exactly the error a loop closure
+    repairs (an internally-consistent but globally drifted tail scores
+    ~zero); one global alignment exposes the end-of-circuit drift."""
+    from viorb_tpu.eval.ate import associate, umeyama_alignment
+
+    ia, ib = associate(traj[:, 0], gt_t)
+    x, y = traj[ia, 1:4], gt_xyz[ib]
+    s, R, t = umeyama_alignment(x, y, with_scale=True)
+    err2 = ((y - (s * (x @ R.T) + t)) ** 2).sum(1)
+    m = traj[ia, 0] >= t_close
+    return float(np.sqrt(err2[m].mean()))
+
+
 def test_loop_closure_on_rendered_circuit(circuit):
     seq, vocab = circuit
     slam = _run(seq, vocab, close_loops=True)
@@ -64,19 +79,19 @@ def test_loop_closure_on_rendered_circuit(circuit):
     rmse_b = ate_rmse(
         traj_b[:, 0], traj_b[:, 1:4], seq.timestamps, seq.c_w, with_scale=True
     )
-    # the corrected run must not be worse, and the revisited segment (the
-    # last 20% of frames, past the circuit closure) must beat the no-loop
-    # run there
-    assert rmse <= rmse_b * 1.05, f"loop {rmse:.4f} vs none {rmse_b:.4f}"
+    # the corrected run must be strictly better overall, and must CLEARLY
+    # beat the no-loop run on the revisited segment (the last 20% of
+    # frames, past the circuit closure) under the global alignment
+    # (measured with seam fusion: overall 0.027 vs 0.045, tail 0.020 vs
+    # 0.054 — margins ~2x the bounds)
+    assert rmse <= rmse_b, f"loop {rmse:.4f} vs none {rmse_b:.4f}"
     t_close = seq.timestamps[int(0.8 * N_FRAMES)]
-    m = traj[:, 0] >= t_close
-    mb = traj_b[:, 0] >= t_close
-    rmse_tail = ate_rmse(
-        traj[m, 0], traj[m, 1:4], seq.timestamps, seq.c_w, with_scale=True
+    rmse_tail = _tail_rmse_globally_aligned(
+        traj, seq.timestamps, seq.c_w, t_close
     )
-    rmse_tail_b = ate_rmse(
-        traj_b[mb, 0], traj_b[mb, 1:4], seq.timestamps, seq.c_w, with_scale=True
+    rmse_tail_b = _tail_rmse_globally_aligned(
+        traj_b, seq.timestamps, seq.c_w, t_close
     )
-    assert rmse_tail <= rmse_tail_b, (
+    assert rmse_tail <= 0.8 * rmse_tail_b, (
         f"tail: loop {rmse_tail:.4f} vs none {rmse_tail_b:.4f}"
     )

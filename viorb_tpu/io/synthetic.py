@@ -273,6 +273,31 @@ def _arc_pose_params(ts: np.ndarray):
     return rs, cs
 
 
+def _circuit_pose_params(ts: np.ndarray, period: float):
+    """The 'circuit' trajectory's exact pose spline (shared by
+    make_trajectory and make_imu): a closed loop with a full 2*pi yaw
+    turn, returning to the start pose at t = period."""
+    th = 2 * np.pi * ts / period
+    cs = np.stack(
+        [
+            1.4 * np.sin(th),
+            0.25 * np.sin(2 * th),
+            0.9 * (1 - np.cos(th)),
+        ],
+        axis=1,
+    ).astype(np.float64)
+    yaw = th
+    pitch = 0.08 * np.sin(2 * th + 0.3)
+    rs = []
+    for y, p in zip(yaw, pitch):
+        cy, sy = np.cos(y), np.sin(y)
+        cp, sp = np.cos(p), np.sin(p)
+        r_yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        r_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        rs.append(r_yaw @ r_pitch)
+    return np.stack(rs), cs
+
+
 def make_imu(
     n_frames: int,
     frame_dt: float,
@@ -282,16 +307,21 @@ def make_imu(
     noise_g: float = 0.0,
     noise_a: float = 0.0,
     seed: int = 1,
+    kind: str = "arc",
 ) -> SyntheticImu:
-    """Analytic IMU for make_trajectory's path, via dense finite
-    differences of the exact pose spline (error O(h^2) at 2 kHz internal
-    sampling)."""
+    """Analytic IMU for make_trajectory's path (any `kind`), via dense
+    finite differences of the exact pose spline (error O(h^2) at 2 kHz
+    internal sampling)."""
     rng = np.random.default_rng(seed)
     t_end = (n_frames - 1) * frame_dt
     h = 1.0 / 2000.0
     tt = np.arange(0.0, t_end + h, h)
 
-    R, c = _arc_pose_params(tt)
+    if kind == "circuit":
+        period = 0.8 * (n_frames - 1) * frame_dt
+        R, c = _circuit_pose_params(tt, period)
+    else:
+        R, c = _arc_pose_params(tt)
     v = np.gradient(c, h, axis=0)
     a_w = np.gradient(v, h, axis=0)
     # body rates: omega_hat = R^T dR/dt
@@ -354,16 +384,6 @@ def make_trajectory(
     """
     ts = np.arange(n_frames) * dt
     if kind == "circuit":
-        period = 0.8 * (n_frames - 1) * dt
-        th = 2 * np.pi * ts / period
-        cs = np.stack(
-            [
-                1.4 * np.sin(th),
-                0.25 * np.sin(2 * th),
-                0.9 * (1 - np.cos(th)),
-            ],
-            axis=1,
-        ).astype(np.float32)
         # full-turn yaw: the camera pans through 2*pi around the circuit so
         # views DECORRELATE along the loop (mid-circuit frames face other
         # walls). Without the turn every keyframe stays covisible with
@@ -371,16 +391,9 @@ def make_trajectory(
         # is one covisibility blob and DetectLoop correctly finds nothing.
         # Composed as R_y(yaw) @ R_x(pitch) (a single rotvec is degenerate
         # near |v| = 2*pi).
-        yaw = th
-        pitch = 0.08 * np.sin(2 * th + 0.3)
-        rs = []
-        for y, p in zip(yaw, pitch):
-            cy, sy = np.cos(y), np.sin(y)
-            cp, sp = np.cos(p), np.sin(p)
-            r_yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-            r_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
-            rs.append(r_yaw @ r_pitch)
-        return np.stack(rs).astype(np.float32), cs
+        period = 0.8 * (n_frames - 1) * dt
+        rs, cs = _circuit_pose_params(ts, period)
+        return rs.astype(np.float32), cs.astype(np.float32)
     rs, cs = _arc_pose_params(ts)
     return rs.astype(np.float32), cs.astype(np.float32)
 
@@ -477,6 +490,8 @@ def make_stereo_sequence(
     dt: float = 0.05,
     baseline: float = 0.11,
     cache_dir: str = "/root/repo/.synth_cache",
+    kind: str = "arc",
+    noise_std: float = 0.0,
 ):
     """Rendered rectified stereo sequence: returns (SyntheticSequence for
     the LEFT camera, list of right images). The right camera sits at
@@ -487,8 +502,15 @@ def make_stereo_sequence(
     cam = cam or PinholeCamera(
         fx=450.0, fy=450.0, cx=376.0, cy=240.0, width=752, height=480
     )
-    seq = make_sequence(n_frames, cam=cam, seed=seed, dt=dt, cache_dir=cache_dir)
-    tag = f"stereoR_v2_{n_frames}_{seed}_{dt}_{baseline}_{cam.width}x{cam.height}_{cam.fx}"
+    seq = make_sequence(
+        n_frames, cam=cam, seed=seed, dt=dt, cache_dir=cache_dir,
+        kind=kind, noise_std=noise_std,
+    )
+    kind_tag = "" if kind == "arc" else f"_{kind}"
+    tag = (
+        f"stereoR_v2_{n_frames}_{seed}_{dt}_{baseline}"
+        f"_{cam.width}x{cam.height}_{cam.fx}{kind_tag}"
+    )
     path = os.path.join(cache_dir, tag + ".npz")
     # right camera centers: c + r_wc @ [b,0,0]
     offs = np.einsum("tij,j->ti", seq.r_wc, np.array([baseline, 0, 0], np.float32))
@@ -501,7 +523,7 @@ def make_stereo_sequence(
 
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            planes = default_room(seed)
+            planes = default_room(seed, closed=(kind == "circuit"))
             arrays = _stack_planes(planes)
             fn = _get_render_fn(cam)
             batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
@@ -516,4 +538,14 @@ def make_stereo_sequence(
                 outs.append(np.asarray(img)[: e - s])
         right = [im for o in outs for im in o]
         np.savez_compressed(path, images=np.stack(right))
+    if noise_std > 0.0:
+        nrng = np.random.default_rng(seed + 1723)
+        right = [
+            np.clip(
+                im + nrng.normal(0.0, noise_std, im.shape).astype(np.float32),
+                0.0,
+                255.0,
+            ).astype(im.dtype)
+            for im in right
+        ]
     return seq, right

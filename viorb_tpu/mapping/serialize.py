@@ -25,8 +25,13 @@ _NAV_KEYS = ("state_p", "state_v", "state_r", "state_bg", "state_ba",
              "state_dbg", "state_dba")
 
 
-def save_map(m: MapStore, path: str):
+def save_map(m: MapStore, path: str, extra: dict | None = None):
+    """extra: pipeline-level state (VI gravity/biases/chain, stereo bf...)
+    stored under an ``x_`` prefix; load_map_extra retrieves it."""
     data = {}
+    if extra:
+        for k, v in extra.items():
+            data["x_" + k] = np.asarray(v)
     for f in _PT_FIELDS:
         data[f] = getattr(m, f)
     data["_next_pt"] = np.int64(m._next_pt)
@@ -64,6 +69,12 @@ def save_map(m: MapStore, path: str):
                     data[p + "nav_" + key] = kf.nav[key]
     data["kf_meta"] = meta
     np.savez_compressed(path, **data)
+
+
+def load_map_extra(path: str) -> dict:
+    """The ``extra`` dict passed to save_map (pipeline-level state)."""
+    z = np.load(path, allow_pickle=False)
+    return {k[2:]: z[k] for k in z.files if k.startswith("x_")}
 
 
 def load_map(path: str) -> MapStore:

@@ -50,7 +50,7 @@ def _edge_residual(di, dj, si, ri, ti, sj, rj, tj, ms, mr, mt):
     return log_sim3(*rel)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_sim3_graph(
     s: jax.Array,  # (K,) scales (Scw convention: world->camera)
     r: jax.Array,  # (K,3,3)
@@ -58,11 +58,17 @@ def optimize_sim3_graph(
     graph: Sim3Graph,
     fixed: jax.Array,  # (K,) bool
     iters: int = 20,
+    fix_scale: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """fix_scale pins every vertex's sigma dof (SE3-in-Sim3 graph — the
+    reference's bFixScale essential graph for stereo/RGB-D,
+    src/Optimizer.cc OptimizeEssentialGraph)."""
     k = s.shape[0]
     d = 7
     z7 = jnp.zeros(7, jnp.float32)
     fixed_kd = jnp.repeat(fixed, d)
+    if fix_scale:
+        fixed_kd = fixed_kd | (jnp.arange(k * d) % d == 6)
 
     def system(s, r, t):
         si = s[graph.edge_i]

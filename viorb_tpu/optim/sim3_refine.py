@@ -48,7 +48,7 @@ def _residuals(delta, s, r, t, x1, uv1, x2, uv2, cam):
     return rf, ri
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_sim3_reproj(
     s12: jax.Array,  # ()
     r12: jax.Array,  # (3,3)
@@ -60,9 +60,12 @@ def optimize_sim3_reproj(
     valid: jax.Array,  # (N,)
     cam: PinholeCamera,
     iters: int = 10,
+    fix_scale: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (s, r, t, inlier_mask) with inliers gated at chi2 9.21
-    (the reference uses th2=10 on 2-dof Sim3 edges)."""
+    (the reference uses th2=10 on 2-dof Sim3 edges). fix_scale pins
+    s = 1 for stereo/RGB-D loops (reference Sim3Solver bFixScale,
+    include/Sim3Solver.h:45)."""
     z7 = jnp.zeros(7, jnp.float32)
     th2 = 9.21
 
@@ -88,6 +91,10 @@ def optimize_sim3_reproj(
         H = J.T @ J
         g = -J.T @ rv
         H = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6))
+        if fix_scale:
+            # pin the sigma dof: exact reduced solve with s frozen at 1
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            g = g.at[6].set(0.0)
         dx = jnp.linalg.solve(H + 1e-8 * jnp.eye(7), g)
         ds = jnp.exp(dx[6])
         dr = exp_so3(dx[3:6])

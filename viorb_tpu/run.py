@@ -68,8 +68,6 @@ def main(argv=None):
         ap.error(f"--dataset {args.dataset} requires --path <sequence dir>")
     if args.localization_only and not args.load_map:
         ap.error("--localization-only requires --load-map")
-    if (args.save_map or args.load_map) and (args.vi or args.stereo):
-        ap.error("--save-map/--load-map support the mono/RGB-D pipelines")
 
     from viorb_tpu.io.config import SlamConfig
     from viorb_tpu.io.trajectory import (

@@ -34,6 +34,7 @@ class LoopCloser:
         key=None,
         cam=None,
         min_confirm_matches: int = 40,
+        fix_scale: bool = False,
     ):
         self.map = map_store
         self.vocab = vocab
@@ -45,6 +46,10 @@ class LoopCloser:
         self.loops_closed = 0
         self.cam = cam  # enables guided-projection confirm + Sim3 refine
         self.min_confirm_matches = min_confirm_matches
+        # stereo/RGB-D: metric scale is observed, so the loop Sim3 and the
+        # essential graph run with s pinned at 1 (reference Sim3Solver
+        # bFixScale, include/Sim3Solver.h:45)
+        self.fix_scale = fix_scale
         # post-correction cooldown: the reference skips detection for 10
         # keyframes after a closure (src/LoopClosing.cc DetectLoop's
         # mLastLoopKFid+10 guard) — back-to-back re-closures of the same
@@ -55,12 +60,25 @@ class LoopCloser:
         # post-loop global BA callback, set by the owning pipeline
         # (reference RunGlobalBundleAdjustment, src/LoopClosing.cc:674-819)
         self.gba_fn = None
+        # seam-fusion callback fuse_fn(pt_ids, target_kf_id, radius) -> int,
+        # set by the owning pipeline (reference SearchAndFuse,
+        # src/LoopClosing.cc:616 — projects the loop side's map points into
+        # the corrected current-side keyframes and merges duplicates). The
+        # fusion is what gives the post-loop GBA cross-seam observations;
+        # without it the GBA has no constraint holding the closure and
+        # relaxes back to the drifted shape.
+        self.fuse_fn = None
 
     # -- bookkeeping -------------------------------------------------------
 
     def add_keyframe(self, kf_id: int):
         kf = self.map.keyframes[kf_id]
-        words, bow = self.vocab.transform(kf.desc01, kf.valid)
+        # device tree descent: the whole keyframe transforms in L gathered
+        # matmuls (bow/vocabulary.py transform_device) instead of the host
+        # numpy loop — this is the per-keyframe hot cost of place
+        # recognition (reference ComputeBoW in ProcessNewKeyFrame)
+        d_pm1 = jnp.asarray(kf.desc01, jnp.float32) * 2 - 1
+        words, bow = self.vocab.transform_device(d_pm1, jnp.asarray(kf.valid))
         kf.bow = bow
         self.db.add(kf_id, bow)
 
@@ -142,20 +160,26 @@ class LoopCloser:
         out = sim3_ransac(
             jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(v), k,
             inlier_th=0.1, min_inliers=self.min_matches,
+            fix_scale=self.fix_scale,
         )
         if not bool(out.success):
             return None
         # mono scale drift within one loop stays far from 2x; a Sim3 with
         # extreme scale is a degenerate fit (coplanar/clustered pairs),
         # not a real closure
-        if not (0.5 < float(out.s) < 2.0):
+        if not self.fix_scale and not (0.5 < float(out.s) < 2.0):
             return None
         s12 = float(out.s)
         r12 = np.asarray(out.r)
         t12 = np.asarray(out.t)
-        n_inl = int(np.asarray(out.inliers).sum())
+        ransac_inl = np.asarray(out.inliers)
+        n_inl = int(ransac_inl.sum())
+        nn = min(n, cap)
+        cur_pts = self.map.keyframes[kf_id].point_idx[m1[:nn]]
+        loop_pts = cd.point_idx[m2[:nn]]
         if self.cam is None:
-            return (s12, r12, t12, n_inl)
+            keep = ransac_inl[:nn]
+            return (s12, r12, t12, n_inl, (cur_pts[keep], loop_pts[keep]))
 
         # Sim3 refinement on the matched pairs by two-way reprojection
         # (reference OptimizeSim3, src/Optimizer.cc:4589)
@@ -163,15 +187,16 @@ class LoopCloser:
 
         uv1 = np.zeros((cap, 2), np.float32)
         uv2 = np.zeros((cap, 2), np.float32)
-        nn = min(n, cap)
         uv1[:nn] = kf.xy[m1[:nn]]
         uv2[:nn] = cd.xy[m2[:nn]]
         s_r, r_r, t_r, inl = optimize_sim3_reproj(
             jnp.float32(s12), jnp.asarray(r12), jnp.asarray(t12),
             jnp.asarray(p1), jnp.asarray(uv1), jnp.asarray(p2),
             jnp.asarray(uv2), jnp.asarray(v), self.cam,
+            fix_scale=self.fix_scale,
         )
-        n_ref = int(np.asarray(inl).sum())
+        inl_np = np.asarray(inl)
+        n_ref = int(inl_np.sum())
         if n_ref < self.min_matches:
             return None
         s12, r12, t12 = float(s_r), np.asarray(r_r), np.asarray(t_r)
@@ -183,7 +208,8 @@ class LoopCloser:
         n_proj = self._confirm_by_projection(kf, cand_id, s12, r12, t12)
         if n_proj < self.min_confirm_matches:
             return None
-        return (s12, r12, t12, n_proj)
+        keep = inl_np[:nn]
+        return (s12, r12, t12, n_proj, (cur_pts[keep], loop_pts[keep]))
 
     def _confirm_by_projection(self, kf, cand_id: int, s12, r12, t12) -> int:
         """Count map points of the candidate's covisibility group that
@@ -229,14 +255,19 @@ class LoopCloser:
 
     # -- correction --------------------------------------------------------
 
-    def correct(self, kf_id: int, cand_id: int, s12, r12, t12):
+    def correct(self, kf_id: int, cand_id: int, s12, r12, t12, pairs=None):
         """Essential-graph correction (reference CorrectLoop :426-614).
 
         Builds the Sim3 graph over the whole keyframe set: consecutive/
         covisibility edges from current relative poses, plus the measured
         loop edge; optimizes with the loop-side fixed; writes back SE3
         poses (scale folded into translation) and rescales map points via
-        their reference keyframe's correction."""
+        their reference keyframe's correction. Then merges the seam —
+        direct replacement of the Sim3-verified matched pairs plus
+        projection fusion of the loop side's points into the current group
+        (reference :543-556 and SearchAndFuse :616) — and finally runs the
+        post-loop global BA, which the fused cross-seam observations
+        anchor."""
         ids = sorted(self.map.keyframes.keys())
         slot = {k: i for i, k in enumerate(ids)}
         k = len(ids)
@@ -336,7 +367,7 @@ class LoopCloser:
         fixed[slot[cand_id]] = True
         s_o, r_o, t_o = optimize_sim3_graph(
             jnp.asarray(s_init), jnp.asarray(r_init), jnp.asarray(t_init),
-            graph, jnp.asarray(fixed), iters=40,
+            graph, jnp.asarray(fixed), iters=40, fix_scale=self.fix_scale,
         )
         s_o = np.asarray(s_o)
         r_o = np.asarray(r_o)
@@ -367,12 +398,40 @@ class LoopCloser:
             kf = self.map.keyframes[kf_key]
             kf.r_cw = r_o[i].astype(np.float32)
             kf.t_cw = (t_o[i] / s_o[i]).astype(np.float32)
+        # local map-scale change per keyframe (world distances near KF i
+        # multiplied by 1/s_o[i]); the VI pipeline rescales NavState
+        # velocities with this
+        scale_by_kf = {kf_key: 1.0 / float(s_o[i]) for kf_key, i in slot.items()}
+
+        # --- seam merge (reference CorrectLoop :543-556 + SearchAndFuse
+        # :616): without it the only cross-seam constraint is the loop
+        # edge itself, and the follow-up GBA — which sees observations
+        # only — relaxes the map straight back to the drifted shape.
+        if pairs is not None:
+            for pc, pl in zip(*pairs):
+                pc, pl = int(pc), int(pl)
+                if (
+                    pc >= 0 and pl >= 0 and pc != pl
+                    and self.map.pt_active[pc] and self.map.pt_active[pl]
+                ):
+                    # the loop (old-side) point survives, as in the reference
+                    self.map.replace_point(pc, pl)
+        if self.fuse_fn is not None:
+            loop_group = [cand_id] + [
+                g for g, wgt in self.map.covisibility_weights(cand_id).items()
+                if wgt >= 15 and g in self.map.keyframes
+            ]
+            loop_pts = self.map.local_map_points(loop_group)
+            for g in sorted(group):
+                if g in self.map.keyframes:
+                    self.fuse_fn(loop_pts, g, 4.0)
+
         # post-loop global BA (reference RunGlobalBundleAdjustment,
         # src/LoopClosing.cc:674-819; spanning-tree propagation is not
         # needed here — mapping jobs are serialized, so no keyframes are
         # created while the GBA runs)
         if self.gba_fn is not None:
-            self.gba_fn(cand_id)
+            self.gba_fn(cand_id, scale_by_kf)
         self.loops_closed += 1
         self.last_loop_kf = kf_id
         return True
@@ -388,8 +447,8 @@ class LoopCloser:
         sim = self.compute_sim3(kf_id, cand)
         if sim is None:
             return False
-        s12, r12, t12, n_inl = sim
-        return self.correct(kf_id, cand, s12, r12, t12)
+        s12, r12, t12, n_inl, pairs = sim
+        return self.correct(kf_id, cand, s12, r12, t12, pairs=pairs)
 
     def process(self, kf_id: int) -> bool:
         """Full loop-closing step for a freshly inserted keyframe."""

@@ -80,6 +80,10 @@ class MonoSlam:
     """Vision-only monocular SLAM (System facade counterpart for the
     TrackMonocular path, reference include/System.h:91-93)."""
 
+    # mono scale is free; stereo/RGB-D subclasses pin the loop Sim3 scale
+    # (reference Sim3Solver bFixScale, include/Sim3Solver.h:45)
+    loop_fix_scale = False
+
     def __init__(
         self,
         cam: PinholeCamera,
@@ -101,6 +105,8 @@ class MonoSlam:
         self.max_local_points = max_local_points
         self.max_ba_landmarks = max_ba_landmarks
         self.kf_max_interval = kf_max_interval
+        # ratio-trigger floor (reference mnMinFrames, 0 by default)
+        self.kf_min_interval = 0
         self.ref_frame: Optional[FrameRecord] = None
         self.last_frame: Optional[FrameRecord] = None
         self.last_kf_id = -1
@@ -121,8 +127,11 @@ class MonoSlam:
         if vocabulary is not None:
             from viorb_tpu.slam.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.map, vocabulary, cam=cam)
+            self.loop_closer = LoopCloser(
+                self.map, vocabulary, cam=cam, fix_scale=self.loop_fix_scale
+            )
             self.loop_closer.gba_fn = self._post_loop_gba
+            self.loop_closer.fuse_fn = self._fuse_points_into_kf
             self.enable_loop_closing = enable_loop_closing
         self.lost_frames = 0
         # fused single-dispatch tracking core (built lazily) + a device
@@ -544,22 +553,36 @@ class MonoSlam:
                 fr.r_cw @ tl_inv + fr.t_cw,
             )
 
-        # keyframe decision (simplified NeedNewKeyFrame,
-        # reference src/Tracking.cc:1711-1814)
+        # keyframe decision (NeedNewKeyFrame, reference
+        # src/Tracking.cc:1711-1814): interval cap (c1a), ratio trigger
+        # gated by a min-frames floor (c1b/c2's mnMinFrames), and in async
+        # mode a mapping-queue-depth gate — when the worker is behind, only
+        # the interval cap may insert, so KF production can never outrun
+        # the mapping thread (the reference gates on
+        # mpLocalMapper->AcceptKeyFrames() + interrupts BA)
         self.frames_since_kf += 1
-        ref_kf = self.map.keyframes[self.last_kf_id]
-        ref_tracked = int((ref_kf.point_idx >= 0).sum())
-        need = (
-            self.frames_since_kf >= self.kf_max_interval
-            or self.n_tracked < 0.6 * max(ref_tracked, 1)
-        ) and self.n_tracked > 15
-        if (
-            need
-            and not getattr(self, "suppress_keyframes", False)
-            and not self.localization_only
-        ):
+        if self._need_new_keyframe(fr.timestamp):
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
+
+    def _need_new_keyframe(self, ts: float) -> bool:
+        if getattr(self, "suppress_keyframes", False) or self.localization_only:
+            return False
+        if self.n_tracked <= 15:
+            return False
+        ref_kf = self.map.keyframes[self.last_kf_id]
+        ref_tracked = int((ref_kf.point_idx >= 0).sum())
+        interval_hit = self.frames_since_kf >= self.kf_max_interval
+        ratio_hit = (
+            self.frames_since_kf >= self.kf_min_interval
+            and self.n_tracked < 0.6 * max(ref_tracked, 1)
+        )
+        if not (interval_hit or ratio_hit):
+            return False
+        if self.async_mapping and self._mapping_queue.qsize() >= 2:
+            # mapping saturated: defer unless the interval cap is 2x blown
+            return self.frames_since_kf >= 2 * self.kf_max_interval
+        return True
 
     def _track_reference_keyframe(self, fr: FrameRecord) -> bool:
         """Wide descriptor matching against the reference keyframe's
@@ -720,6 +743,9 @@ class MonoSlam:
                 if self.map.pt_active[p]:
                     self.map.add_observation(p, kf_id, int(f))
         self.last_kf_id = kf_id
+        # subclass hook (VI: attach the IMU segment + chain links + NavState)
+        # runs BEFORE the job can start — the worker reads what it attaches
+        self._on_keyframe_created(fr, kf_id)
         if self.async_mapping:
             if self._worker_error is not None:
                 raise RuntimeError("mapping worker died") from self._worker_error
@@ -727,8 +753,12 @@ class MonoSlam:
             self._mapping_queue.put(kf_id)
         else:
             self._mapping_job(kf_id)
-            kf_ = self.map.keyframes[kf_id]
-            fr.r_cw, fr.t_cw = kf_.r_cw.copy(), kf_.t_cw.copy()
+            with self.map_lock:
+                kf_ = self.map.keyframes[kf_id]
+                fr.r_cw, fr.t_cw = kf_.r_cw.copy(), kf_.t_cw.copy()
+
+    def _on_keyframe_created(self, fr: FrameRecord, kf_id: int):
+        """Hook between KF creation and mapping-job dispatch."""
 
     def _mapping_job(self, kf_id: int):
         """The LocalMapping step for one keyframe: triangulation, stats,
@@ -752,10 +782,7 @@ class MonoSlam:
                 self.map.keyframes[kf_id].parent_kf = max(prior, default=-1)
         neighbors = sorted(cov, key=cov.get, reverse=True)[:3]
         for nb in neighbors:
-            with self.map_lock:
-                if nb not in self.map.keyframes:
-                    continue
-                self._triangulate_with(kf_id, nb)
+            self._triangulate_with(kf_id, nb)
         # map-point fusion across the neighborhood (SearchInNeighbors)
         with self.map_lock:
             self._search_in_neighbors(kf_id, neighbors)
@@ -764,19 +791,9 @@ class MonoSlam:
             window = [kf_id] + sorted(cov, key=cov.get, reverse=True)[
                 : self.local_window - 1
             ]
-            # fixed anchors: KFs observing window points but outside window
-            anchor = set()
-            for p in self.map.local_map_points(window):
-                for k in self.map.obs_kf[p]:
-                    if k >= 0 and int(k) not in window:
-                        anchor.add(int(k))
-            fixed = sorted(anchor)[:8]
-            if len(self.map.kf_ids()) <= 2:
-                fixed = [min(self.map.kf_ids())]
-        # BA abort: if tracking already queued a newer keyframe, skip the
-        # solve — the next job optimizes a superset window
-        if not (self.async_mapping and not self._mapping_queue.empty()):
-            self._local_ba(window, fixed)
+        # local BA (subclass hook switches vision vs VI flavour, the
+        # reference's VI-vs-vision switch at src/LocalMapping.cc:1055-1080)
+        self._mapping_ba(kf_id, window)
         with self.map_lock:
             self._cull_points(kf_id)
             self._cull_keyframes(window)
@@ -786,6 +803,23 @@ class MonoSlam:
                 if getattr(self, "enable_loop_closing", False):
                     self.loop_closer.try_close(kf_id)
         self.map.version += 1
+
+    def _mapping_ba(self, kf_id: int, window: List[int]):
+        """Windowed local BA with outside-window anchors fixed; skipped
+        when a newer keyframe is already queued (the reference's BA abort,
+        src/LocalMapping.cc:1137-1142). Subclasses switch the flavour."""
+        with self.map_lock:
+            # fixed anchors: KFs observing window points but outside window
+            anchor = set()
+            for p in self.map.local_map_points(window):
+                for k in self.map.obs_kf[p]:
+                    if k >= 0 and int(k) not in window:
+                        anchor.add(int(k))
+            fixed = sorted(anchor)[:8]
+            if len(self.map.kf_ids()) <= 2:
+                fixed = [min(self.map.kf_ids())]
+        if not (self.async_mapping and not self._mapping_queue.empty()):
+            self._local_ba(window, fixed)
 
     def _mapping_worker(self):
         while True:
@@ -836,9 +870,11 @@ class MonoSlam:
                 from viorb_tpu.slam.loop_closing import LoopCloser
 
                 self.loop_closer = LoopCloser(
-                    self.map, self.vocabulary, cam=self.cam
+                    self.map, self.vocabulary, cam=self.cam,
+                    fix_scale=self.loop_fix_scale,
                 )
                 self.loop_closer.gba_fn = self._post_loop_gba
+                self.loop_closer.fuse_fn = self._fuse_points_into_kf
 
     def set_localization_mode(self, enabled: bool):
         """Track against the frozen map without inserting keyframes
@@ -878,73 +914,104 @@ class MonoSlam:
                 from viorb_tpu.slam.loop_closing import LoopCloser
 
                 self.loop_closer = LoopCloser(
-                    self.map, self.vocabulary, cam=self.cam
+                    self.map, self.vocabulary, cam=self.cam,
+                    fix_scale=self.loop_fix_scale,
                 )
                 self.loop_closer.gba_fn = self._post_loop_gba
+                self.loop_closer.fuse_fn = self._fuse_points_into_kf
                 for k in active:
                     self.loop_closer.add_keyframe(k)
 
     def _triangulate_with(self, kf_id: int, nb_id: int):
-        kf = self.map.keyframes[kf_id]
-        nb = self.map.keyframes[nb_id]
-        # baseline check vs median scene depth (reference CreateNewMapPoints)
-        baseline = np.linalg.norm(kf.center() - nb.center())
-        pts_nb = nb.point_idx[nb.point_idx >= 0]
-        if len(pts_nb) > 0:
-            depths = (self.map.pt_xyz[pts_nb] @ nb.r_cw.T + nb.t_cw)[:, 2]
-            med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
-            if baseline / max(med, 1e-6) < 0.01:
+        """Epipolar matching + two-view triangulation between a new KF and
+        one covisible neighbour (reference CreateNewMapPoints,
+        src/LocalMapping.cc:1235). The lock is held only to SNAPSHOT the
+        two keyframes' arrays and to INSERT the accepted points; the
+        matching/triangulation compute runs on immutable copies so async
+        tracking never blocks on it (the reference likewise holds no map
+        lock during triangulation)."""
+        with self.map_lock:
+            kf = self.map.keyframes.get(kf_id)
+            nb = self.map.keyframes.get(nb_id)
+            if kf is None or nb is None:
                 return
-        free1 = kf.valid & (kf.point_idx < 0)
-        free2 = nb.valid & (nb.point_idx < 0)
-        if free1.sum() == 0 or free2.sum() == 0:
-            return
+            # baseline check vs median scene depth (CreateNewMapPoints)
+            baseline = np.linalg.norm(kf.center() - nb.center())
+            pts_nb = nb.point_idx[nb.point_idx >= 0]
+            if len(pts_nb) > 0:
+                depths = (self.map.pt_xyz[pts_nb] @ nb.r_cw.T + nb.t_cw)[:, 2]
+                med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
+                if baseline / max(med, 1e-6) < 0.01:
+                    return
+            free1 = kf.valid & (kf.point_idx < 0)
+            free2 = nb.valid & (nb.point_idx < 0)
+            if free1.sum() == 0 or free2.sum() == 0:
+                return
+            snap = (
+                kf.r_cw.copy(), kf.t_cw.copy(), kf.xy.copy(),
+                kf.level.copy(), kf.desc01.copy(),
+                nb.r_cw.copy(), nb.t_cw.copy(), nb.xy.copy(),
+                nb.level.copy(), nb.desc01.copy(),
+            )
+        (r1, t1, xy1, lv1, dsc1, r2, t2, xy2, lv2, dsc2) = snap
+        c1 = -r1.T @ t1
+        c2 = -r2.T @ t2
         F12 = fundamental_from_poses(
-            jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw),
-            jnp.asarray(nb.r_cw), jnp.asarray(nb.t_cw), self.cam.K,
+            jnp.asarray(r1), jnp.asarray(t1),
+            jnp.asarray(r2), jnp.asarray(t2), self.cam.K,
         )
-        d1 = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
-        d2 = (jnp.asarray(nb.desc01, jnp.bfloat16) * 2 - 1)
+        d1 = (jnp.asarray(dsc1, jnp.bfloat16) * 2 - 1)
+        d2 = (jnp.asarray(dsc2, jnp.bfloat16) * 2 - 1)
         res = match_for_triangulation(
-            jnp.asarray(kf.xy), d1, jnp.asarray(free1),
-            jnp.asarray(nb.xy), d2, jnp.asarray(free2), F12,
+            jnp.asarray(xy1), d1, jnp.asarray(free1),
+            jnp.asarray(xy2), d2, jnp.asarray(free2), F12,
         )
         idx = np.asarray(res.idx)
         m1 = np.nonzero(idx >= 0)[0]
         if len(m1) == 0:
             return
         m2 = idx[m1]
-        P1 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw)))
-        P2 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(nb.r_cw), jnp.asarray(nb.t_cw)))
+        P1 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(r1), jnp.asarray(t1)))
+        P2 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(r2), jnp.asarray(t2)))
         X = np.asarray(
             triangulate_two_view(
                 jnp.broadcast_to(jnp.asarray(P1), (len(m1), 3, 4)),
                 jnp.broadcast_to(jnp.asarray(P2), (len(m1), 3, 4)),
-                jnp.asarray(kf.xy[m1]),
-                jnp.asarray(nb.xy[m2]),
+                jnp.asarray(xy1[m1]),
+                jnp.asarray(xy2[m2]),
             )
         )
         # checks: depth, reprojection, parallax
-        pc1 = X @ kf.r_cw.T + kf.t_cw
-        pc2 = X @ nb.r_cw.T + nb.t_cw
+        pc1 = X @ r1.T + t1
+        pc2 = X @ r2.T + t2
         z1, z2 = pc1[:, 2], pc2[:, 2]
         uv1 = self._project_np(pc1)
         uv2 = self._project_np(pc2)
-        e1 = ((uv1 - kf.xy[m1]) ** 2).sum(1)
-        e2 = ((uv2 - nb.xy[m2]) ** 2).sum(1)
-        th1 = 5.991 * self.sigma2[kf.level[m1]]
-        th2 = 5.991 * self.sigma2[nb.level[m2]]
-        ray1 = X - kf.center()
-        ray2 = X - nb.center()
+        e1 = ((uv1 - xy1[m1]) ** 2).sum(1)
+        e2 = ((uv2 - xy2[m2]) ** 2).sum(1)
+        th1 = 5.991 * self.sigma2[lv1[m1]]
+        th2 = 5.991 * self.sigma2[lv2[m2]]
+        ray1 = X - c1
+        ray2 = X - c2
         cosp = (ray1 * ray2).sum(1) / np.maximum(
             np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1), 1e-12
         )
         good = (z1 > 0.05) & (z2 > 0.05) & (e1 < th1) & (e2 < th2) & (cosp < 0.9998)
-        for i, f1, f2 in zip(np.nonzero(good)[0], m1[good], m2[good]):
-            p = self.map.add_point(X[i], kf.desc01[f1], kf_id, int(f1))
-            self.map.add_observation(p, nb_id, int(f2))
+        with self.map_lock:
+            kf = self.map.keyframes.get(kf_id)
+            nb = self.map.keyframes.get(nb_id)
+            if kf is None or nb is None:
+                return
+            for i, f1, f2 in zip(np.nonzero(good)[0], m1[good], m2[good]):
+                # features may have been bound meanwhile (fusion)
+                if kf.point_idx[f1] >= 0 or nb.point_idx[f2] >= 0:
+                    continue
+                p = self.map.add_point(X[i], dsc1[f1], kf_id, int(f1))
+                self.map.add_observation(p, nb_id, int(f2))
 
-    def _fuse_points_into_kf(self, pt_ids: np.ndarray, target_id: int) -> int:
+    def _fuse_points_into_kf(
+        self, pt_ids: np.ndarray, target_id: int, radius: float = 3.0
+    ) -> int:
         """Project the given map points into a keyframe and fuse: a match
         on a free feature becomes an observation; a match on a feature
         bound to a DIFFERENT point merges the two (fewer-observations one
@@ -979,7 +1046,7 @@ class MonoSlam:
             jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
             jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw),
             jnp.asarray(kf.xy), d_kf, jnp.asarray(kf.valid),
-            self.cam, jnp.float32(3.0),
+            self.cam, jnp.float32(radius),
         )
         pf = np.asarray(point_for_feat)
         fused = 0
@@ -1090,10 +1157,12 @@ class MonoSlam:
                 for s in np.nonzero(dropped[row])[0]:
                     self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
 
-    def _post_loop_gba(self, anchor_kf: int):
+    def _post_loop_gba(self, anchor_kf: int, scale_by_kf=None):
         """Full-map BA after a loop correction, anchored at the loop
         (old-side) keyframe (reference RunGlobalBundleAdjustment,
-        src/LoopClosing.cc:674-819 — vision flavour)."""
+        src/LoopClosing.cc:674-819 — vision flavour). scale_by_kf maps
+        kf_id -> local world-scale factor of the correction (used by the
+        VI override to rescale velocities; unused for vision)."""
         ids = sorted(self.map.keyframes.keys())
         if len(ids) < 3:
             return
@@ -1184,10 +1253,12 @@ class MonoSlam:
         kf = self.map.keyframes.get(self.last_kf_id)
         if kf is None:
             return
-        # T_rel = T_frame_cw * T_kf_cw^{-1}
-        r_rel = fr.r_cw @ kf.r_cw.T
-        t_rel = fr.t_cw - r_rel @ kf.t_cw
-        self.traj_entries.append((ts, self.last_kf_id, r_rel, t_rel))
+        # T_rel = T_frame_cw * T_kf_cw^{-1} (under the lock: the async VI
+        # worker rescales traj_entries atomically with the map)
+        with self.map_lock:
+            r_rel = fr.r_cw @ kf.r_cw.T
+            t_rel = fr.t_cw - r_rel @ kf.t_cw
+            self.traj_entries.append((ts, self.last_kf_id, r_rel, t_rel))
 
     def _rescale_trajectory(self, s: float):
         """Applied when the map is globally rescaled (VI init)."""

@@ -56,11 +56,6 @@ class MonoViSlam(MonoSlam):
         imu_capacity: int = 256,
         **kwargs,
     ):
-        if kwargs.get("async_mapping"):
-            raise NotImplementedError(
-                "async mapping is not yet supported in VI mode (the VI init "
-                "rescale must be atomic with tracking); use lock-step"
-            )
         super().__init__(cam, **kwargs)
         self.r_bc = np.eye(3, dtype=np.float32) if r_bc is None else r_bc
         self.p_bc = np.zeros(3, np.float32) if p_bc is None else p_bc
@@ -82,6 +77,11 @@ class MonoViSlam(MonoSlam):
         # keep refining the init estimates until this much data exists
         # (reference VINS init acceptance window, src/LocalMapping.cc:554-563)
         self.init_refine_window = 12.0
+        # chain spans (s) at which the full-chain gravity-vertex GBA fires
+        # (each mark once); below the first mark the closed-form triplet
+        # refine runs instead
+        self.gw_refine_marks = [3.5, 5.0, 7.0, 9.0, 11.0]
+        self._gw_mark_done = 0
         # post-relocalization bias re-estimation (reference
         # mbRelocBiasPrepare + RecomputeIMUBiasAndCurrentNavstate,
         # src/Tracking.cc:59-227, :2285-2287)
@@ -101,6 +101,25 @@ class MonoViSlam(MonoSlam):
         self.frame_prior = None
         self._prior_map_version = -1
         self._nav_last_frame: Optional[NavState] = None
+        # async mapping: the worker NEVER touches tracker-owned state
+        # (nav_cur, frame_prior, velocity, last_frame pose, biases,
+        # gravity). When a mapping-side event invalidates it — VI init
+        # (re)scale, VI BA moving the newest keyframe, loop correction —
+        # the worker bumps this epoch under map_lock and the tracker
+        # re-bases ONCE at the next frame entry (_drain_tracker_rebase):
+        # nav_cur re-derives from the newest chain keyframe's NavState
+        # propagated through the since-KF IMU buffer. This is the
+        # epoch-gated atomic swap replacing the reference's map-update
+        # flags (src/Tracking.cc:896-906).
+        self._rebase_epoch = 0
+        self._rebase_seen = 0
+        self._pending_imu_params = None  # (bias_g, bias_a, gravity) from worker
+        # mapping-side canonical bias/gravity (the worker's copies; the
+        # tracker's self.bias_*/self.gravity sync either inline in
+        # lock-step or at the rebase drain in async)
+        self._map_bias_g = np.zeros(3, np.float32)
+        self._map_bias_a = np.zeros(3, np.float32)
+        self._map_gravity: Optional[np.ndarray] = None
 
     # -- pose conversions ------------------------------------------------
 
@@ -133,12 +152,63 @@ class MonoViSlam(MonoSlam):
 
     # -- frame entry ------------------------------------------------------
 
+    def _drain_tracker_rebase(self):
+        """Apply pending mapping-side events to the tracker state, once,
+        at frame entry (async mode; lock-step applies them inline). The
+        tracker state re-derives from the newest chain keyframe's
+        NavState, propagated through the since-KF IMU buffer to the last
+        frame's timestamp, so prediction continues seamlessly in the new
+        (possibly rescaled) world."""
+        with self.map_lock:
+            if self._rebase_seen == self._rebase_epoch:
+                return
+            self._rebase_seen = self._rebase_epoch
+            if self._pending_imu_params is not None:
+                self.bias_g, self.bias_a, self.gravity = self._pending_imu_params
+                self._pending_imu_params = None
+            self.frame_prior = None
+            self._nav_last_frame = None
+            self.velocity = None
+            if not self.vi_ready:
+                return
+            chain = [k for k in self.kf_chain if k in self.map.keyframes]
+            if not chain:
+                return
+            last_kf = self.map.keyframes[chain[-1]]
+            if not (last_kf.nav and "state" in last_kf.nav):
+                return
+            ns = jax.tree.map(jnp.asarray, last_kf.nav["state"])
+            kf_ts = last_kf.timestamp
+            imu_buf = list(self.imu_since_kf)
+        if self.last_frame is not None and self.last_frame.timestamp > kf_ts:
+            if imu_buf:
+                t = np.array([s[0] for s in imu_buf], np.float32)
+                g = np.stack([np.asarray(s[1]) for s in imu_buf]).astype(np.float32)
+                a = np.stack([np.asarray(s[2]) for s in imu_buf]).astype(np.float32)
+                batch = ImuBatch.from_arrays(g, a, t, capacity=self.imu_capacity)
+            else:
+                batch = ImuBatch.empty(self.imu_capacity)
+            pre = preintegrate(
+                batch, jnp.asarray(self.bias_g), jnp.asarray(self.bias_a),
+                jnp.float32(kf_ts), jnp.float32(self.last_frame.timestamp),
+                self.imu_noise,
+            )
+            ns = propagate_navstate(ns, pre, jnp.asarray(self.gravity))
+            self.last_frame.r_cw, self.last_frame.t_cw = self._tcw_from_nav(ns)
+        self.nav_cur = ns
+        self.last_vision_time = max(
+            self.last_vision_time,
+            self.last_frame.timestamp if self.last_frame else kf_ts,
+        )
+
     def process_frame_vi(self, image, ts: float, imu_samples) -> dict:
         """imu_samples: iterable of (t, gyro(3,), acc(3,)) since last call
         (the reference's vimu argument, src/Tracking.cc:598)."""
         for s in imu_samples:
             self.imu_since_kf.append(s)
             self.imu_since_frame.append(s)
+        if self.async_mapping:
+            self._drain_tracker_rebase()
         if not self.vi_ready:
             out = self.process_frame(image, ts)
             # pre-init loss with a tiny map is unrecoverable: full reset
@@ -220,54 +290,107 @@ class MonoViSlam(MonoSlam):
         self.map.keyframes[prev_id].next_kf = next_id
         self.kf_chain.remove(k)
 
+    def _on_keyframe_created(self, fr: FrameRecord, kf_id: int):
+        """Attach the IMU segment since the previous keyframe, link the
+        chain, and store the tracked NavState — all BEFORE the mapping job
+        can start, so the (possibly async) worker reads complete keyframes
+        (reference CreateNewKeyFrame attaches mvIMUSinceLastKF + the
+        prev-KF link, src/Tracking.cc:1822-1828)."""
+        with self.map_lock:
+            kf = self.map.keyframes[kf_id]
+            if self.imu_since_kf:
+                t = np.array([s[0] for s in self.imu_since_kf], np.float32)
+                g = np.stack([np.asarray(s[1]) for s in self.imu_since_kf])
+                a = np.stack([np.asarray(s[2]) for s in self.imu_since_kf])
+                n = min(len(t), self.imu_capacity)
+                kf.nav = kf.nav or {}
+                kf.nav["imu_t"] = t[-n:]
+                kf.nav["imu_g"] = g[-n:].astype(np.float32)
+                kf.nav["imu_a"] = a[-n:].astype(np.float32)
+            else:
+                kf.nav = kf.nav or {}
+                kf.nav["imu_t"] = np.zeros(0, np.float32)
+                kf.nav["imu_g"] = np.zeros((0, 3), np.float32)
+                kf.nav["imu_a"] = np.zeros((0, 3), np.float32)
+            if self.kf_chain:
+                kf.prev_kf = self.kf_chain[-1]
+                self.map.keyframes[self.kf_chain[-1]].next_kf = kf_id
+            self.kf_chain.append(kf_id)
+            self.imu_since_kf = []
+            if self.vi_ready and self.nav_cur is not None:
+                kf.nav["state"] = jax.tree.map(np.asarray, self.nav_cur)
+
     def _insert_keyframe(self, fr: FrameRecord):
         super()._insert_keyframe(fr)
-        kf_id = self.last_kf_id
-        kf = self.map.keyframes[kf_id]
-        # attach the IMU segment since the previous keyframe
-        if self.imu_since_kf:
-            t = np.array([s[0] for s in self.imu_since_kf], np.float32)
-            g = np.stack([np.asarray(s[1]) for s in self.imu_since_kf])
-            a = np.stack([np.asarray(s[2]) for s in self.imu_since_kf])
-            n = min(len(t), self.imu_capacity)
-            kf.nav = kf.nav or {}
-            kf.nav["imu_t"] = t[-n:]
-            kf.nav["imu_g"] = g[-n:].astype(np.float32)
-            kf.nav["imu_a"] = a[-n:].astype(np.float32)
-        else:
-            kf.nav = kf.nav or {}
-            kf.nav["imu_t"] = np.zeros(0, np.float32)
-            kf.nav["imu_g"] = np.zeros((0, 3), np.float32)
-            kf.nav["imu_a"] = np.zeros((0, 3), np.float32)
-        if self.kf_chain:
-            kf.prev_kf = self.kf_chain[-1]
-            self.map.keyframes[self.kf_chain[-1]].next_kf = kf_id
-        self.kf_chain.append(kf_id)
-        self.imu_since_kf = []
-        if self.vi_ready:
-            # store NavState on the KF from the tracked frame state
-            if self.nav_cur is not None:
-                kf.nav["state"] = jax.tree.map(np.asarray, self.nav_cur)
-            # continuous init refinement: the reference only ACCEPTS init
-            # after 15 s of data (src/LocalMapping.cc:554-563); we accept
-            # early for usability and keep re-estimating scale/gravity/
-            # biases on the growing chain until the same time span
-            if kf.timestamp - self.init_time < self.init_refine_window:
+        if not self.async_mapping:
+            # lock-step: the mapping job (VI BA / init rescale) already ran
+            # inline — re-sync the frame pose and drop a stale prior if the
+            # map was rescaled (async mode re-bases at next frame entry)
+            kf_now = self.map.keyframes[self.last_kf_id]
+            fr.r_cw, fr.t_cw = kf_now.r_cw.copy(), kf_now.t_cw.copy()
+
+    def _mapping_ba(self, kf_id: int, window):
+        """The reference's VI-vs-vision local-BA switch
+        (src/LocalMapping.cc:1055-1080): vision windowed BA until VI init
+        succeeds (plus the init attempt itself), then the VI windowed BA
+        with preintegration chains — the post-init vision BA must NOT run,
+        its scale-gauge-free solve would fight the IMU's metric scale."""
+        if not self.vi_ready:
+            super()._mapping_ba(kf_id, window)
+            self._maybe_vi_init()
+            return
+        # continuous init refinement: the reference only ACCEPTS init
+        # after 15 s of data (src/LocalMapping.cc:554-563); we accept
+        # early for usability and keep re-estimating on the growing chain
+        # until the same time span. Two regimes:
+        #   * short chain: the closed-form triplet re-solve (fast, but its
+        #     errors-in-variables attenuation SHRINKS scale by the
+        #     noise-to-signal ratio on every application — compounding);
+        #   * once the chain spans gw_refine_marks[i]: the full-chain
+        #     gravity-vertex GBA (optim.ba.vi_ba_gw, reference
+        #     GlobalBundleAdjustmentNavStateWithGw src/Optimizer.cc:2702) —
+        #     the joint MLE over raw reprojections has no attenuation and
+        #     repairs scale+gravity together (test_ba.py: 5% scale error ->
+        #     1.6% on a 1.75 s window; better on longer chains).
+        with self.map_lock:
+            kf_ts = self.map.keyframes[kf_id].timestamp
+            chain = [k for k in self.kf_chain if k in self.map.keyframes]
+            chain_len = len(chain)
+            span = (
+                self.map.keyframes[chain[-1]].timestamp
+                - self.map.keyframes[chain[0]].timestamp
+                if chain_len >= 2
+                else 0.0
+            )
+        ran_full_gba = False
+        if kf_ts - self.init_time < self.init_refine_window:
+            marks = self.gw_refine_marks
+            if self._gw_mark_done < len(marks) and span >= marks[self._gw_mark_done]:
+                while (
+                    self._gw_mark_done < len(marks)
+                    and span >= marks[self._gw_mark_done]
+                ):
+                    self._gw_mark_done += 1
+                self._vi_local_ba(
+                    kf_id, window_size=chain_len,
+                    optimize_gravity=True, iters=(10, 8),
+                )
+                ran_full_gba = True
+            elif (
+                span < marks[0]
+                and chain_len - getattr(self, "_last_refine_len", 0) >= 2
+            ):
                 # throttle: the closed-form re-solve only improves after
                 # the BA has moved the geometry, and every distinct chain
                 # length is a fresh XLA compile — refine every 2nd KF
-                chain_len = len(self.kf_chain)
-                if chain_len - getattr(self, "_last_refine_len", 0) >= 2:
-                    self._refine_vi_init()
-                    self._last_refine_len = chain_len
+                self._refine_vi_init()
+                self._last_refine_len = chain_len
+        # BA abort: a newer keyframe is already queued — the next job
+        # optimizes a superset window (reference mbAbortBA)
+        if not ran_full_gba and not (
+            self.async_mapping and not self._mapping_queue.empty()
+        ):
             self._vi_local_ba(kf_id)
-        else:
-            self._maybe_vi_init()
-        # re-sync the frame pose with the (possibly rescaled / BA-updated)
-        # keyframe: super() copied it BEFORE VI init rescaled the map, and
-        # the trajectory entry recorded after this must not mix scales
-        kf_now = self.map.keyframes[kf_id]
-        fr.r_cw, fr.t_cw = kf_now.r_cw.copy(), kf_now.t_cw.copy()
 
     def _kf_imu_batch(self, kf_id: int) -> ImuBatch:
         nav = self.map.keyframes[kf_id].nav
@@ -278,18 +401,19 @@ class MonoViSlam(MonoSlam):
     # -- VI initialization ------------------------------------------------
 
     def _maybe_vi_init(self):
-        chain = self.kf_chain
-        if len(chain) < self.vi_init_min_kfs:
-            return
-        t0 = self.map.keyframes[chain[0]].timestamp
-        t1 = self.map.keyframes[chain[-1]].timestamp
-        if t1 - t0 < self.vi_init_min_time:
-            return
-        kfs = [self.map.keyframes[i] for i in chain]
-        p_c = np.stack([k.center() for k in kfs])
-        r_wc = np.stack([k.r_cw.T for k in kfs])
-        ts = np.array([k.timestamp for k in kfs])
-        batches = [self._kf_imu_batch(i) for i in chain[1:]]
+        with self.map_lock:
+            chain = [k for k in self.kf_chain if k in self.map.keyframes]
+            if len(chain) < self.vi_init_min_kfs:
+                return
+            t0 = self.map.keyframes[chain[0]].timestamp
+            t1 = self.map.keyframes[chain[-1]].timestamp
+            if t1 - t0 < self.vi_init_min_time:
+                return
+            kfs = [self.map.keyframes[i] for i in chain]
+            p_c = np.stack([k.center() for k in kfs])
+            r_wc = np.stack([k.r_cw.T for k in kfs])
+            ts = np.array([k.timestamp for k in kfs])
+            batches = [self._kf_imu_batch(i) for i in chain[1:]]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         res = try_vi_init(
             p_c, r_wc, ts, stacked, r_bc=self.r_bc, p_bc=self.p_bc,
@@ -330,29 +454,72 @@ class MonoViSlam(MonoSlam):
     def _apply_init_result(self, res, chain):
         """Apply a (re-)estimated VI init: rescale the map, refresh
         gravity/biases, overwrite chain NavStates with the solved
-        velocities (reference src/LocalMapping.cc:583-707)."""
-        self._log_init_state(res, self.map.keyframes[chain[-1]].timestamp)
-        s = res.scale
-        pts = self.map.active_point_ids()
-        self.map.pt_xyz[pts] *= s
-        self.map.pt_min_dist[pts] *= s
-        self.map.pt_max_dist[pts] *= s
-        for kf in self.map.keyframes.values():
-            kf.t_cw = (kf.t_cw * s).astype(np.float32)
-        self._rescale_trajectory(s)
-        self.bias_g = res.bias_g.astype(np.float32)
-        self.bias_a = res.bias_a.astype(np.float32)
-        self.gravity = res.gravity_w.astype(np.float32)
-        for idx, kf_id in enumerate(chain):
-            kf = self.map.keyframes[kf_id]
-            nav = self._nav_from_tcw(kf.r_cw, kf.t_cw, v=res.velocities[idx])
-            kf.nav = kf.nav or {}
-            kf.nav["state"] = jax.tree.map(np.asarray, nav)
-        # current frame state continues from the newest chain KF
-        last = self.map.keyframes[chain[-1]]
-        self.nav_cur = jax.tree.map(jnp.asarray, last.nav["state"])
-        if self.last_frame is not None and self.last_frame.t_cw is not None:
-            self.last_frame.t_cw = self.last_frame.t_cw * s
+        velocities (reference src/LocalMapping.cc:583-707). The whole
+        rescale is atomic under map_lock; in async mode the tracker-owned
+        state (nav_cur, biases, gravity, last-frame pose) is NOT touched
+        here — the rebase epoch makes the tracker re-derive it at the next
+        frame entry."""
+        with self.map_lock:
+            self._log_init_state(res, self.map.keyframes[chain[-1]].timestamp)
+            s = res.scale
+            pts = self.map.active_point_ids()
+            self.map.pt_xyz[pts] *= s
+            self.map.pt_min_dist[pts] *= s
+            self.map.pt_max_dist[pts] *= s
+            for kf in self.map.keyframes.values():
+                kf.t_cw = (kf.t_cw * s).astype(np.float32)
+            self._rescale_trajectory(s)
+            nav_from = self._nav_from_tcw_biases(
+                res.bias_g.astype(np.float32), res.bias_a.astype(np.float32)
+            )
+            for idx, kf_id in enumerate(chain):
+                kf = self.map.keyframes[kf_id]
+                nav = nav_from(kf.r_cw, kf.t_cw, res.velocities[idx])
+                kf.nav = kf.nav or {}
+                kf.nav["state"] = jax.tree.map(np.asarray, nav)
+            self.map.version += 1
+            self._map_bias_g = res.bias_g.astype(np.float32)
+            self._map_bias_a = res.bias_a.astype(np.float32)
+            self._map_gravity = res.gravity_w.astype(np.float32)
+            if self.async_mapping:
+                self._pending_imu_params = (
+                    res.bias_g.astype(np.float32),
+                    res.bias_a.astype(np.float32),
+                    res.gravity_w.astype(np.float32),
+                )
+                self._rebase_epoch += 1
+                return
+            self.bias_g = res.bias_g.astype(np.float32)
+            self.bias_a = res.bias_a.astype(np.float32)
+            self.gravity = res.gravity_w.astype(np.float32)
+            # current frame state continues from the newest chain KF
+            last = self.map.keyframes[chain[-1]]
+            self.nav_cur = jax.tree.map(jnp.asarray, last.nav["state"])
+            if self.last_frame is not None and self.last_frame.t_cw is not None:
+                self.last_frame.t_cw = self.last_frame.t_cw * s
+
+    def _nav_from_tcw_biases(self, bias_g, bias_a):
+        """NavState factory pinned to explicit biases (the worker must not
+        read the tracker's self.bias_* mid-update)."""
+
+        def make(r_cw, t_cw, v):
+            r_wc = r_cw.T
+            c_w = -r_wc @ t_cw
+            r_wb = r_wc @ self.r_bc.T
+            p_cb = -(self.r_bc.T @ self.p_bc)
+            p_wb = c_w + r_wc @ p_cb
+            z = jnp.zeros(3, jnp.float32)
+            return NavState(
+                jnp.asarray(p_wb.astype(np.float32)),
+                jnp.asarray(np.asarray(v).astype(np.float32)),
+                jnp.asarray(r_wb.astype(np.float32)),
+                jnp.asarray(bias_g),
+                jnp.asarray(bias_a),
+                z,
+                z,
+            )
+
+        return make
 
     def _refine_vi_init(self):
         """Re-run the closed-form init on the full (already metric) chain:
@@ -366,14 +533,15 @@ class MonoViSlam(MonoSlam):
         improvement comes from the windowed/global VI BA moving the
         centers toward IMU-metric between calls (see _maybe_vi_init's
         BA<->refine alternation)."""
-        chain = [k for k in self.kf_chain if k in self.map.keyframes]
-        if len(chain) < max(4, self.vi_init_min_kfs):
-            return
-        kfs = [self.map.keyframes[i] for i in chain]
-        p_c = np.stack([k.center() for k in kfs])
-        r_wc = np.stack([k.r_cw.T for k in kfs])
-        ts = np.array([k.timestamp for k in kfs])
-        batches = [self._kf_imu_batch(i) for i in chain[1:]]
+        with self.map_lock:
+            chain = [k for k in self.kf_chain if k in self.map.keyframes]
+            if len(chain) < max(4, self.vi_init_min_kfs):
+                return
+            kfs = [self.map.keyframes[i] for i in chain]
+            p_c = np.stack([k.center() for k in kfs])
+            r_wc = np.stack([k.r_cw.T for k in kfs])
+            ts = np.array([k.timestamp for k in kfs])
+            batches = [self._kf_imu_batch(i) for i in chain[1:]]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         # widen triplet strides as the chain grows: the scale signal in a
         # triplet grows ~dt^2 while vision noise is constant, so wide
@@ -389,6 +557,26 @@ class MonoViSlam(MonoSlam):
         if not 0.7 < res.scale < 1.4:
             return
         self._apply_init_result(res, chain)
+
+    def _need_new_keyframe(self, ts: float) -> bool:
+        """Vision rules plus the VI time-gap rule: insert after >=0.5 s
+        without a keyframe so preintegration segments stay short
+        (reference NeedNewKeyFrame VI branch, src/Tracking.cc:1773-1777).
+        Under a saturated async mapping queue the time gap may stretch to
+        1.5 s before forcing."""
+        if super()._need_new_keyframe(ts):
+            return True
+        if getattr(self, "suppress_keyframes", False) or self.localization_only:
+            return False
+        if not self.vi_ready or self.n_tracked <= 15:
+            return False
+        ref_kf = self.map.keyframes.get(self.last_kf_id)
+        if ref_kf is None:
+            return False
+        gap = ts - ref_kf.timestamp
+        if self.async_mapping and self._mapping_queue.qsize() >= 2:
+            return gap >= 1.5
+        return gap >= 0.5
 
     # -- VI tracking ------------------------------------------------------
 
@@ -418,6 +606,74 @@ class MonoViSlam(MonoSlam):
         self.reloc_bias_prepare = False
         self.reloc_buffer = []
         self.pre_init_lost = 0
+        self.frame_prior = None
+        self._nav_last_frame = None
+        self._rebase_epoch = 0
+        self._rebase_seen = 0
+        self._pending_imu_params = None
+        self._map_bias_g = np.zeros(3, np.float32)
+        self._map_bias_a = np.zeros(3, np.float32)
+        self._map_gravity = None
+        self._gw_mark_done = 0
+        self._last_refine_len = 0
+
+    # -- checkpoint/resume --------------------------------------------------
+
+    def save_map(self, path: str):
+        """VI checkpoint: the base map (keyframe NavStates and IMU buffers
+        already serialize) plus pipeline-level VI state — gravity, biases,
+        the keyframe chain, init bookkeeping (beyond the reference, whose
+        SaveMap was a TODO, include/System.h:132-134)."""
+        from viorb_tpu.mapping.serialize import save_map
+
+        self.wait_mapping_idle()
+        with self.map_lock:
+            extra = {
+                "vi_ready": np.array(self.vi_ready),
+                "kf_chain": np.asarray(
+                    [k for k in self.kf_chain if k in self.map.keyframes],
+                    np.int64,
+                ),
+                "bias_g": self._map_bias_g,
+                "bias_a": self._map_bias_a,
+                "init_time": np.float64(self.init_time),
+            }
+            if self._map_gravity is not None:
+                extra["gravity"] = self._map_gravity
+            save_map(self.map, path, extra=extra)
+
+    def load_map(self, path: str, localization_only: bool = True):
+        """Resume from a VI checkpoint: the next frame relocalizes (BoW +
+        PnP) and then runs the 20-frame bias re-solve before VI tracking
+        resumes (the reference's mbRelocBiasPrepare path,
+        src/Tracking.cc:2285-2287)."""
+        from viorb_tpu.mapping.serialize import load_map_extra
+
+        super().load_map(path, localization_only=localization_only)
+        extra = load_map_extra(path)
+        self.vi_ready = bool(extra.get("vi_ready", False))
+        self.kf_chain = [int(k) for k in extra.get("kf_chain", [])]
+        self.bias_g = np.asarray(
+            extra.get("bias_g", np.zeros(3)), np.float32
+        )
+        self.bias_a = np.asarray(
+            extra.get("bias_a", np.zeros(3)), np.float32
+        )
+        self._map_bias_g = self.bias_g.copy()
+        self._map_bias_a = self.bias_a.copy()
+        self.init_time = float(extra.get("init_time", 0.0))
+        if "gravity" in extra:
+            self.gravity = np.asarray(extra["gravity"], np.float32)
+            self._map_gravity = self.gravity.copy()
+        # refinement finished in the saved session; don't re-run it on a
+        # resumed (relocalization-based) run
+        self._gw_mark_done = len(self.gw_refine_marks)
+        self.init_refine_window = 0.0
+        # tracker state is gone: the first frame must relocalize, then the
+        # 20-frame bias re-solve rebuilds nav_cur (see _track_vi)
+        self.nav_cur = None
+        self.imu_since_kf = []
+        self.imu_since_frame = []
         self.frame_prior = None
         self._nav_last_frame = None
 
@@ -485,6 +741,8 @@ class MonoViSlam(MonoSlam):
             jnp.asarray(t1s), self.imu_noise,
         )
         self.bias_g = estimate_gyro_bias(r_wb, pre0).astype(np.float32)
+        with self.map_lock:
+            self._map_bias_g = self.bias_g
         # velocity from the last position difference (reference :180-220)
         p_cb = -(self.r_bc.T @ self.p_bc)
         p_wb = []
@@ -504,6 +762,28 @@ class MonoViSlam(MonoSlam):
         if self.reloc_bias_prepare:
             self._reloc_prepare_step(fr, ts)
             return
+        if self.nav_cur is None:
+            # no inertial anchor (resumed from a checkpoint): relocalize,
+            # then the 20-frame bias re-solve rebuilds the NavState
+            # (reference Relocalization -> mbRelocBiasPrepare,
+            # src/Tracking.cc:2127-2291). Localization-only stays on the
+            # vision tracker (the reference's mbOnlyTracking mode is
+            # vision-only as well).
+            if (
+                self.localization_only
+                and self.last_frame is not None
+                and self.last_frame.r_cw is not None
+                and self.state == "OK"
+            ):
+                self._track(fr)
+                return
+            if self._relocalize(fr):
+                if not self.localization_only:
+                    self._begin_reloc_bias_prepare(fr, ts)
+            else:
+                self.state = "LOST"
+                self.n_tracked = 0
+            return
         last_t = self.last_frame.timestamp if self.last_frame else ts
         batch = self._imu_batch_since_frame()
         pre = preintegrate(
@@ -520,8 +800,11 @@ class MonoViSlam(MonoSlam):
         fr.r_cw, fr.t_cw = self._tcw_from_nav(nav_pred)
 
         # projection matching at the predicted pose (as in vision path)
-        kf_ids = self._local_kf_ids()
-        pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(kf_ids)
+        with self.map_lock:
+            kf_ids = self._local_kf_ids()
+            pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
+                kf_ids
+            )
         from viorb_tpu.slam.kernels import match_by_projection
 
         desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
@@ -652,30 +935,82 @@ class MonoViSlam(MonoSlam):
         self._prior_map_version = self.map.version
         self._nav_last_frame = ns_j
 
-        # record matches, counters
+        # record matches, counters (alive-gated: async culls may race)
         fr.point_idx = np.full(nf, -1, np.int32)
         ok_feats = np.nonzero((pf >= 0) & inl)[0]
         fr.point_idx[ok_feats] = pts[pf[ok_feats]]
         if len(pts):
-            vis = np.asarray(visible)[: len(pts)]
-            self.map.pt_visible[pts[vis]] += 1
-            self.map.pt_found[fr.point_idx[ok_feats]] += 1
+            with self.map_lock:
+                vis = np.asarray(visible)[: len(pts)]
+                alive = self.map.pt_active[pts]
+                self.map.pt_visible[pts[vis & alive[: len(vis)]]] += 1
+                ok_alive = ok_feats[self.map.pt_active[fr.point_idx[ok_feats]]]
+                self.map.pt_found[fr.point_idx[ok_alive]] += 1
 
-        # keyframe decision: vision rule OR the VI time-gap rule — insert
-        # after >=0.5 s without a keyframe so preintegration segments stay
-        # short (reference NeedNewKeyFrame VI branch,
+        # keyframe decision: vision rules (hardened _need_new_keyframe)
+        # OR the VI time-gap rule (reference NeedNewKeyFrame VI branch,
         # src/Tracking.cc:1773-1777)
         self.frames_since_kf += 1
-        ref_kf = self.map.keyframes[self.last_kf_id]
-        ref_tracked = int((ref_kf.point_idx >= 0).sum())
-        need_vision = (
-            self.frames_since_kf >= self.kf_max_interval
-            or self.n_tracked < 0.6 * max(ref_tracked, 1)
-        )
-        need_timegap = ts - ref_kf.timestamp >= 0.5
-        if (need_vision or need_timegap) and self.n_tracked > 15:
+        if self._need_new_keyframe(ts):
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
+
+    # -- VI-aware loop closing ---------------------------------------------
+
+    def _post_loop_gba(self, anchor_kf: int, scale_by_kf=None):
+        """VI flavour of the post-loop global BA (reference
+        RunGlobalBundleAdjustment -> GlobalBundleAdjustmentNavState +
+        NavState propagation, src/LoopClosing.cc:674-819): first re-derive
+        every keyframe's NavState from its essential-graph-corrected SE3
+        pose — rotating the world velocity into the corrected frame,
+        `Vw2 = Rwb2 * Rwb1^T * Vw1` (reference :738-757, the body-frame
+        velocity is invariant), and rescaling it by the local world-scale
+        change of the Sim3 correction — then run the full-chain VI global
+        BA so the IMU chain and the closed loop settle jointly. The
+        scale-gauge-free vision GBA must NOT run here: it would fight the
+        IMU's metric scale."""
+        if not self.vi_ready:
+            return super()._post_loop_gba(anchor_kf, scale_by_kf)
+        for kf_id, kf in self.map.keyframes.items():
+            if not (kf.nav and "state" in kf.nav):
+                continue
+            ns = kf.nav["state"]
+            r_wb_old = np.asarray(ns.r)
+            v_old = np.asarray(ns.v)
+            # corrected body pose from the corrected camera pose
+            r_wc = kf.r_cw.T
+            c_w = -r_wc @ kf.t_cw
+            r_wb_new = r_wc @ self.r_bc.T
+            p_cb = -(self.r_bc.T @ self.p_bc)
+            p_wb_new = c_w + r_wc @ p_cb
+            s_loc = 1.0
+            if scale_by_kf is not None:
+                s_loc = float(scale_by_kf.get(kf_id, 1.0))
+            v_new = s_loc * (r_wb_new @ r_wb_old.T @ v_old)
+            kf.nav["state"] = NavState(
+                p=p_wb_new.astype(np.float32),
+                v=v_new.astype(np.float32),
+                r=r_wb_new.astype(np.float32),
+                bg=np.asarray(ns.bg),
+                ba=np.asarray(ns.ba),
+                dbg=np.asarray(ns.dbg),
+                dba=np.asarray(ns.dba),
+            )
+        chain = [k for k in self.kf_chain if k in self.map.keyframes]
+        if len(chain) >= 3:
+            self._vi_local_ba(chain[-1], window_size=len(chain), iters=(10, 8))
+        # re-base the tracker on the corrected newest keyframe; the
+        # marginalized frame prior is stale (map epoch bumps after the
+        # mapping job) and nav_cur must not keep the pre-correction frame
+        if self.async_mapping:
+            self._rebase_epoch += 1
+            return
+        last = self.map.keyframes[chain[-1]]
+        if last.nav and "state" in last.nav:
+            self.nav_cur = jax.tree.map(jnp.asarray, last.nav["state"])
+        self.frame_prior = None
+        self._nav_last_frame = None
+        self.velocity = None
 
     # -- VI local BA ------------------------------------------------------
 
@@ -686,64 +1021,74 @@ class MonoViSlam(MonoSlam):
         optimize_gravity: bool = False,
         iters: tuple = (5, 5),
     ):
-        w = window_size or self.local_window
-        chain = [k for k in self.kf_chain if k in self.map.keyframes]
-        window = chain[-w:]
-        if len(window) < 2:
-            return
-        # anchors: covisible KFs outside the window (fixed)
-        anchor = set()
-        for p in self.map.local_map_points(window):
-            for k in self.map.obs_kf[p]:
-                if k >= 0 and int(k) not in window and int(k) in self.map.keyframes:
-                    anchor.add(int(k))
-        fixed = sorted(anchor)[:6]
-        kf_list, pt_ids, kf_idx, uv, inv_s2, valid = self.map.build_ba_problem(
-            window, fixed, self.max_ba_landmarks
-        )
-        if len(pt_ids) == 0:
-            return
-        k = len(kf_list)
-        # NavStates: window KFs must all have them; fixed anchors might be
-        # pre-VI keyframes — give them vision-derived states and fix them
-        navs = []
-        for i in kf_list:
-            kf = self.map.keyframes[i]
-            if kf.nav and "state" in kf.nav:
-                navs.append(jax.tree.map(jnp.asarray, kf.nav["state"]))
-            else:
-                navs.append(self._nav_from_tcw(kf.r_cw, kf.t_cw))
-        nav_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *navs)
-        points = np.zeros((self.max_ba_landmarks, 3), np.float32)
-        points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
-        fixed_mask = np.array(
-            [i in fixed or i == min(window) for i in kf_list]
-        )
-        # IMU chain between consecutive WINDOW kfs (slots 0..len(window)-1)
-        n_win = len(window)
-        batches = []
-        valid_edges = []
-        t0s, t1s = [], []
-        for a, b in zip(window[:-1], window[1:]):
-            kfb = self.map.keyframes[b]
-            batches.append(self._kf_imu_batch(b))
-            # an edge spanning a tracking-loss gap carries a huge-dt
-            # preintegration: drop it (its covariance whitening would
-            # nearly zero it anyway, but padded buffers may also have
-            # missed samples)
-            dt_ab = kfb.timestamp - self.map.keyframes[a].timestamp
-            valid_edges.append(
-                self.map.keyframes[b].prev_kf == a
-                and len(kfb.nav["imu_t"]) > 0
-                and dt_ab < 3.0
+        # --- assembly (map snapshot, under the lock) -------------------
+        with self.map_lock:
+            w = window_size or self.local_window
+            chain = [k for k in self.kf_chain if k in self.map.keyframes]
+            window = chain[-w:]
+            if len(window) < 2:
+                return
+            # anchors: covisible KFs outside the window (fixed)
+            anchor = set()
+            for p in self.map.local_map_points(window):
+                for k in self.map.obs_kf[p]:
+                    if (
+                        k >= 0
+                        and int(k) not in window
+                        and int(k) in self.map.keyframes
+                    ):
+                        anchor.add(int(k))
+            fixed = sorted(anchor)[:6]
+            kf_list, pt_ids, kf_idx, uv, inv_s2, valid = self.map.build_ba_problem(
+                window, fixed, self.max_ba_landmarks
             )
-            t0s.append(self.map.keyframes[a].timestamp)
-            t1s.append(kfb.timestamp)
+            if len(pt_ids) == 0:
+                return
+            k = len(kf_list)
+            # NavStates: window KFs must all have them; fixed anchors might
+            # be pre-VI keyframes — give them vision-derived states, fixed
+            navs = []
+            for i in kf_list:
+                kf = self.map.keyframes[i]
+                if kf.nav and "state" in kf.nav:
+                    navs.append(jax.tree.map(jnp.asarray, kf.nav["state"]))
+                else:
+                    navs.append(self._nav_from_tcw(kf.r_cw, kf.t_cw))
+            nav_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *navs)
+            points = np.zeros((self.max_ba_landmarks, 3), np.float32)
+            points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
+            fixed_mask = np.array(
+                [i in fixed or i == min(window) for i in kf_list]
+            )
+            # IMU chain between consecutive WINDOW kfs (slots 0..n_win-1)
+            n_win = len(window)
+            batches = []
+            valid_edges = []
+            t0s, t1s = [], []
+            for a, b in zip(window[:-1], window[1:]):
+                kfb = self.map.keyframes[b]
+                batches.append(self._kf_imu_batch(b))
+                # an edge spanning a tracking-loss gap carries a huge-dt
+                # preintegration: drop it (its covariance whitening would
+                # nearly zero it anyway, but padded buffers may also have
+                # missed samples)
+                dt_ab = kfb.timestamp - self.map.keyframes[a].timestamp
+                valid_edges.append(
+                    self.map.keyframes[b].prev_kf == a
+                    and len(kfb.nav["imu_t"]) > 0
+                    and dt_ab < 3.0
+                )
+                t0s.append(self.map.keyframes[a].timestamp)
+                t1s.append(kfb.timestamp)
+            bias_g = self._map_bias_g
+            bias_a = self._map_bias_a
+            gravity = self._map_gravity
+        # --- solve (immutable snapshots, no lock) ----------------------
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         pre = preintegrate_batch(
             stacked,
-            jnp.asarray(self.bias_g),
-            jnp.asarray(self.bias_a),
+            jnp.asarray(bias_g),
+            jnp.asarray(bias_a),
             jnp.asarray(np.array(t0s, np.float32)),
             jnp.asarray(np.array(t1s, np.float32)),
             self.imu_noise,
@@ -819,39 +1164,55 @@ class MonoViSlam(MonoSlam):
 
             out, g_new, obs2 = vi_ba_gw_two_phase(
                 state, obs, self.cam, self.ext, chain_obj,
-                jnp.asarray(self.gravity), jnp.asarray(fixed_mask),
+                jnp.asarray(gravity), jnp.asarray(fixed_mask),
                 iters1=15, iters2=10,
             )
-            self.gravity = np.asarray(g_new).astype(np.float32)
         else:
             out, obs2 = vi_ba_two_phase(
                 state, obs, self.cam, self.ext, chain_obj,
-                jnp.asarray(self.gravity), jnp.asarray(fixed_mask),
+                jnp.asarray(gravity), jnp.asarray(fixed_mask),
                 iters1=iters[0], iters2=iters[1],
             )
-        # write back
+        # --- write back (under the lock; culls may have intervened) ----
         nav_np = jax.tree.map(np.asarray, out.nav)
         p_new = np.asarray(out.points)
-        for s_i, i in enumerate(kf_list):
-            if fixed_mask[s_i]:
-                continue
-            kf = self.map.keyframes[i]
-            ns = jax.tree.map(lambda x: x[s_i], nav_np)
-            kf.nav = kf.nav or {}
-            kf.nav["state"] = ns
-            nav_j = jax.tree.map(jnp.asarray, ns)
-            kf.r_cw, kf.t_cw = self._tcw_from_nav(nav_j)
-        self.map.pt_xyz[pt_ids] = p_new[: len(pt_ids)]
-        if kf_id in kf_list:
-            s_i = kf_list.index(kf_id)
-            self.nav_cur = jax.tree.map(
-                lambda x: jnp.asarray(x[s_i]), nav_np
-            )
-        # outlier write-back
-        was_valid = valid
-        now_valid = np.asarray(obs2.valid)
-        dropped = was_valid & ~now_valid
-        for row in np.nonzero(dropped.any(axis=1))[0]:
-            p = int(pt_ids[row])
-            for s in np.nonzero(dropped[row])[0]:
-                self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+        with self.map_lock:
+            if optimize_gravity:
+                self._map_gravity = np.asarray(g_new).astype(np.float32)
+                if self.async_mapping:
+                    self._pending_imu_params = (
+                        self._map_bias_g, self._map_bias_a, self._map_gravity
+                    )
+                else:
+                    self.gravity = self._map_gravity
+            for s_i, i in enumerate(kf_list):
+                if fixed_mask[s_i] or i not in self.map.keyframes:
+                    continue
+                kf = self.map.keyframes[i]
+                ns = jax.tree.map(lambda x: x[s_i], nav_np)
+                kf.nav = kf.nav or {}
+                kf.nav["state"] = ns
+                nav_j = jax.tree.map(jnp.asarray, ns)
+                kf.r_cw, kf.t_cw = self._tcw_from_nav(nav_j)
+            # only landmarks still alive take the solved positions
+            alive = self.map.pt_active[pt_ids]
+            self.map.pt_xyz[pt_ids[alive]] = p_new[: len(pt_ids)][alive]
+            if kf_id in kf_list:
+                if self.async_mapping:
+                    # tracker re-bases from the updated newest KF state
+                    self._rebase_epoch += 1
+                else:
+                    s_i = kf_list.index(kf_id)
+                    self.nav_cur = jax.tree.map(
+                        lambda x: jnp.asarray(x[s_i]), nav_np
+                    )
+            # outlier write-back
+            was_valid = valid
+            now_valid = np.asarray(obs2.valid)
+            dropped = was_valid & ~now_valid
+            for row in np.nonzero(dropped.any(axis=1))[0]:
+                p = int(pt_ids[row])
+                if not self.map.pt_active[p]:
+                    continue
+                for s in np.nonzero(dropped[row])[0]:
+                    self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))

@@ -23,6 +23,10 @@ DEPTH_MAX = 12.0
 
 
 class RgbdSlam(MonoSlam):
+    # metric scale is observed: loop Sim3 + essential graph run with s=1
+    # (reference Sim3Solver bFixScale, include/Sim3Solver.h:45)
+    loop_fix_scale = True
+
     def __init__(self, cam, depth_max: float = DEPTH_MAX, **kwargs):
         super().__init__(cam, **kwargs)
         self.depth_max = depth_max
@@ -89,21 +93,22 @@ class RgbdSlam(MonoSlam):
         self.state = "OK"
         self.n_tracked = int(ok.sum())
 
-    def _insert_keyframe(self, fr: FrameRecord):
-        super()._insert_keyframe(fr)
-        # back-project unmatched features with valid depth into new points
+    def _on_keyframe_created(self, fr: FrameRecord, kf_id: int):
+        """Back-project unmatched features with valid depth into new
+        points, BEFORE the mapping job runs (async-safe)."""
+        super()._on_keyframe_created(fr, kf_id)
         z = getattr(self, "_pending_depth", None)
         if z is None:
             return
-        kf_id = self.last_kf_id
-        kf = self.map.keyframes[kf_id]
-        free = (
-            kf.valid
-            & (kf.point_idx < 0)
-            & (z > DEPTH_MIN)
-            & (z < self.depth_max)
-        )
-        pts_w = self._backproject(fr, z)
-        for f in np.nonzero(free)[0]:
-            self.map.add_point(pts_w[f], kf.desc01[f], kf_id, int(f))
-        self.map.update_point_stats(self.map.local_map_points([kf_id]))
+        with self.map_lock:
+            kf = self.map.keyframes[kf_id]
+            free = (
+                kf.valid
+                & (kf.point_idx < 0)
+                & (z > DEPTH_MIN)
+                & (z < self.depth_max)
+            )
+            pts_w = self._backproject(fr, z)
+            for f in np.nonzero(free)[0]:
+                self.map.add_point(pts_w[f], kf.desc01[f], kf_id, int(f))
+            self.map.update_point_stats(self.map.local_map_points([kf_id]))

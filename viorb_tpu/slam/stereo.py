@@ -31,6 +31,10 @@ DEPTH_MIN = 0.1
 
 
 class StereoSlam(MonoSlam):
+    # metric scale is observed: loop Sim3 + essential graph run with s=1
+    # (reference Sim3Solver bFixScale, include/Sim3Solver.h:45)
+    loop_fix_scale = True
+
     def __init__(
         self,
         cam,
@@ -140,19 +144,21 @@ class StereoSlam(MonoSlam):
 
     # -- mapping -----------------------------------------------------------
 
-    def _insert_keyframe(self, fr: FrameRecord):
-        super()._insert_keyframe(fr)
-        # close-point creation: back-project unmatched features with
-        # reliable (close) stereo depth (reference src/Tracking.cc:1816-1902)
-        kf_id = self.last_kf_id
-        kf = self.map.keyframes[kf_id]
-        free = (
-            kf.valid
-            & (kf.point_idx < 0)
-            & (fr.depth > DEPTH_MIN)
-            & (fr.depth < self.depth_th)
-        )
-        pts_w = self._backproject(fr, fr.depth)
-        for f in np.nonzero(free)[0]:
-            self.map.add_point(pts_w[f], kf.desc01[f], kf_id, int(f))
-        self.map.update_point_stats(self.map.local_map_points([kf_id]))
+    def _on_keyframe_created(self, fr: FrameRecord, kf_id: int):
+        """Close-point creation: back-project unmatched features with
+        reliable (close) stereo depth (reference src/Tracking.cc:1816-1902).
+        Runs BEFORE the mapping job so the (possibly async) worker's
+        triangulation/fusion/BA sees the stereo points."""
+        super()._on_keyframe_created(fr, kf_id)
+        with self.map_lock:
+            kf = self.map.keyframes[kf_id]
+            free = (
+                kf.valid
+                & (kf.point_idx < 0)
+                & (fr.depth > DEPTH_MIN)
+                & (fr.depth < self.depth_th)
+            )
+            pts_w = self._backproject(fr, fr.depth)
+            for f in np.nonzero(free)[0]:
+                self.map.add_point(pts_w[f], kf.desc01[f], kf_id, int(f))
+            self.map.update_point_stats(self.map.local_map_points([kf_id]))
