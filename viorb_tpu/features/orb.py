@@ -57,11 +57,23 @@ def _circular_moment_kernels() -> tuple[np.ndarray, np.ndarray]:
 _KX, _KY = _circular_moment_kernels()
 
 
-# Patch geometry: HALF_PATCH=15 for moments; the rotated test pattern
-# reaches radius 13*sqrt(2) ~= 18.4, so a 45x45 patch (half 22) keeps all
-# samples inside (and leaves >=3px of valid blur context).
-PATCH_HALF = 22
-PATCH_SIZE = 2 * PATCH_HALF + 1  # 45
+# Patch geometry: HALF_PATCH=15 for moments; rotation preserves the
+# radius-13 pattern clamp, so rotated samples stay within +-14 after
+# rounding (SAMPLE_HALF), and the 7x7 blur needs 3 px of context —
+# 17 = max(15, 14 + 3) covers everything in a 35x35 patch.
+PATCH_HALF = 17
+PATCH_SIZE = 2 * PATCH_HALF + 1  # 35
+SAMPLE_HALF = 14
+SAMPLE_SIZE = 2 * SAMPLE_HALF + 1  # 29
+
+# Rotation is quantized to N_BANKS discrete angles so descriptor sampling
+# becomes ONE one-hot matmul on the MXU instead of a 512K-element random
+# gather (measured 5 ms -> ~0.5 ms per frame on v5e). Bank step 11.25 deg
+# moves a radius-13 sample by <=1.3 px — the same order as the
+# nearest-neighbour rounding the reference's GET_VALUE already applies
+# (src/ORBextractor.cc:108-148). The whole system (matching, BoW, loop
+# detection) shares this sampler, so it stays self-consistent.
+N_BANKS = 32
 
 
 def extract_patches(image: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
@@ -72,6 +84,13 @@ def extract_patches(image: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array
     orientation+descriptor stage K*patch-sized instead of image-sized.
     """
     padded = jnp.pad(image, PATCH_HALF, mode="edge")
+    return gather_patches(padded, ys, xs)
+
+
+def gather_patches(padded: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """(K,45,45) patches from an ALREADY-PADDED image: the patch for
+    keypoint (y, x) in original coords starts at (y, x) in padded coords
+    (the PATCH_HALF border shift cancels the centering)."""
 
     def one(y, x):
         return jax.lax.dynamic_slice(padded, (y, x), (PATCH_SIZE, PATCH_SIZE))
@@ -92,23 +111,57 @@ def patch_moments(patches: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+def _build_bank_selector() -> np.ndarray:
+    """(SAMPLE_SIZE^2, N_BANKS*512) one-hot selector: column b*512+i picks
+    the pixel of the SAMPLE window that test-endpoint i samples when the
+    patch orientation falls in bank b. Built once at import (bf16 on
+    device; ~48 MB)."""
+    n_pts = 2 * N_TESTS  # 512 endpoints
+    sel = np.zeros((SAMPLE_SIZE * SAMPLE_SIZE, N_BANKS * n_pts), np.float32)
+    pts = TEST_PATTERN.reshape(n_pts, 2).astype(np.float64)  # (512,2) (dx,dy)
+    for b in range(N_BANKS):
+        ang = 2.0 * np.pi * b / N_BANKS
+        ca, sa = np.cos(ang), np.sin(ang)
+        rx = np.round(ca * pts[:, 0] - sa * pts[:, 1]).astype(np.int64)
+        ry = np.round(sa * pts[:, 0] + ca * pts[:, 1]).astype(np.int64)
+        px = np.clip(SAMPLE_HALF + rx, 0, SAMPLE_SIZE - 1)
+        py = np.clip(SAMPLE_HALF + ry, 0, SAMPLE_SIZE - 1)
+        sel[py * SAMPLE_SIZE + px, b * n_pts + np.arange(n_pts)] = 1.0
+    return sel
+
+
+_BANK_SELECTOR_NP = _build_bank_selector()
+_bank_selector_dev = None
+
+
 def patch_descriptors(patches: jax.Array, angles: jax.Array) -> jax.Array:
-    """Rotated 256-pair tests sampled from (K,45,45) patches by flat
-    take_along_axis gather; returns (K,256) uint8 {0,1}. Nearest-neighbour
-    rotation like the reference's cvRound GET_VALUE
-    (src/ORBextractor.cc:108-148)."""
+    """Rotated 256-pair tests as ONE MXU matmul: the orientation is
+    quantized to N_BANKS angles, sampling every bank's 512 endpoints for
+    every patch with a one-hot selector matmul, then selecting each
+    keypoint's bank with a tiny einsum. Returns (K,256) uint8 {0,1}.
+    (Replaces a per-element random gather — the TPU-native reshape of the
+    reference's per-keypoint GET_VALUE loop, src/ORBextractor.cc:108-148.)
+    """
+    global _bank_selector_dev
+    if _bank_selector_dev is None:
+        # concrete even when first touched inside a jit trace
+        with jax.ensure_compile_time_eval():
+            _bank_selector_dev = jnp.asarray(_BANK_SELECTOR_NP, jnp.bfloat16)
+    sel_mat = _bank_selector_dev
     k = patches.shape[0]
-    pat = jnp.asarray(TEST_PATTERN, jnp.float32)  # (256,2,2) (dx,dy)
-    ca, sa = jnp.cos(angles), jnp.sin(angles)
-    dx = pat[..., 0].reshape(-1)  # (512,)
-    dy = pat[..., 1].reshape(-1)
-    rx = jnp.round(ca[:, None] * dx[None] - sa[:, None] * dy[None]).astype(jnp.int32)
-    ry = jnp.round(sa[:, None] * dx[None] + ca[:, None] * dy[None]).astype(jnp.int32)
-    px = jnp.clip(PATCH_HALF + rx, 0, PATCH_SIZE - 1)
-    py = jnp.clip(PATCH_HALF + ry, 0, PATCH_SIZE - 1)
-    flat_idx = py * PATCH_SIZE + px  # (K,512)
-    flat = patches.reshape(k, -1)
-    vals = jnp.take_along_axis(flat, flat_idx, axis=1)  # (K,512)
+    c = PATCH_HALF
+    win = patches[
+        :, c - SAMPLE_HALF : c + SAMPLE_HALF + 1, c - SAMPLE_HALF : c + SAMPLE_HALF + 1
+    ].reshape(k, SAMPLE_SIZE * SAMPLE_SIZE)
+    samples = jnp.dot(
+        win.astype(jnp.bfloat16), sel_mat, preferred_element_type=jnp.float32
+    )  # (K, N_BANKS*512)
+    n_pts = 2 * N_TESTS
+    samples = samples.reshape(k, N_BANKS, n_pts)
+    step = 2.0 * jnp.pi / N_BANKS
+    bank = jnp.mod(jnp.round(angles / step).astype(jnp.int32), N_BANKS)
+    oh = jax.nn.one_hot(bank, N_BANKS, dtype=samples.dtype)  # (K,B)
+    vals = jnp.einsum("kbi,kb->ki", samples, oh)  # (K,512)
     a = vals[:, 0::2]
     b = vals[:, 1::2]
     return (a < b).astype(jnp.uint8)

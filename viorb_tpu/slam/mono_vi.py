@@ -120,6 +120,8 @@ class MonoViSlam(MonoSlam):
         self._map_bias_g = np.zeros(3, np.float32)
         self._map_bias_a = np.zeros(3, np.float32)
         self._map_gravity: Optional[np.ndarray] = None
+        # fused single-dispatch VI tracking core (built lazily)
+        self._vi_core = None
 
     # -- pose conversions ------------------------------------------------
 
@@ -223,9 +225,14 @@ class MonoViSlam(MonoSlam):
                 self.pre_init_lost = 0
             self.imu_since_frame = []
             return out
-        # VI tracking
-        fr = self._make_frame(image, ts)
-        self._track_vi(fr, ts)
+        # VI tracking: the fused steady-state core extracts features
+        # inside its single dispatch; the guard branches (reloc prepare,
+        # missing inertial anchor) extract the old way first
+        if self.reloc_bias_prepare or self.nav_cur is None:
+            fr = self._make_frame(image, ts)
+            self._track_vi(fr, ts)
+        else:
+            fr = self._track_vi_fused(image, ts)
         self._record_trajectory(fr, ts)
         self.last_frame = fr
         self.imu_since_frame = []
@@ -336,7 +343,21 @@ class MonoViSlam(MonoSlam):
         with preintegration chains — the post-init vision BA must NOT run,
         its scale-gauge-free solve would fight the IMU's metric scale."""
         if not self.vi_ready:
-            super()._mapping_ba(kf_id, window)
+            # pre-init the vision BA must NOT be skipped under queue
+            # pressure: the closed-form init solves against the BA'd
+            # camera centers, and un-refined geometry fails its
+            # plausibility gates indefinitely (observed in async runs on
+            # a slow host: queue never empty -> BA never ran -> no init)
+            with self.map_lock:
+                anchor = set()
+                for p in self.map.local_map_points(window):
+                    for k in self.map.obs_kf[p]:
+                        if k >= 0 and int(k) not in window:
+                            anchor.add(int(k))
+                fixed = sorted(anchor)[:8]
+                if len(self.map.kf_ids()) <= 2:
+                    fixed = [min(self.map.kf_ids())]
+            self._local_ba(window, fixed)
             self._maybe_vi_init()
             return
         # continuous init refinement: the reference only ACCEPTS init
@@ -784,142 +805,121 @@ class MonoViSlam(MonoSlam):
                 self.state = "LOST"
                 self.n_tracked = 0
             return
-        last_t = self.last_frame.timestamp if self.last_frame else ts
-        batch = self._imu_batch_since_frame()
-        pre = preintegrate(
-            batch,
-            jnp.asarray(self.bias_g),
-            jnp.asarray(self.bias_a),
-            jnp.float32(last_t),
-            jnp.float32(ts),
-            self.imu_noise,
-        )
-        nav_pred = propagate_navstate(
-            self.nav_cur, pre, jnp.asarray(self.gravity)
-        )
-        fr.r_cw, fr.t_cw = self._tcw_from_nav(nav_pred)
+        # steady state is handled by the fused core (process_frame_vi
+        # dispatches there directly; reaching here means a caller fed a
+        # pre-extracted frame — run the fused core on nothing? No: the
+        # guard branches above are the only legitimate entries)
+        raise RuntimeError("_track_vi called outside its guard branches")
 
-        # projection matching at the predicted pose (as in vision path)
+    def _track_vi_fused(self, image, ts: float) -> FrameRecord:
+        """Steady-state VI tracking as ONE fused device dispatch + ONE
+        host pull: since-frame AND since-KF preintegration, NavState
+        propagation, projection matching (wide-radius retry as lax.cond)
+        and the 15-DoF VI pose optimization run as a single XLA program
+        (tracking_loop.make_vi_pipeline_core). This replaces the legacy
+        ~6-dispatch path with its mid-frame int(n) host sync — the device
+        shape of the reference's TrackWithIMU (src/Tracking.cc:412-534)."""
+        if self._vi_core is None:
+            from viorb_tpu.slam.tracking_loop import make_vi_pipeline_core
+
+            self._vi_core = make_vi_pipeline_core(
+                self.cam, self.extractor, self.ext, self.imu_noise
+            )
+        last_t = self.last_frame.timestamp if self.last_frame else ts
         with self.map_lock:
             kf_ids = self._local_kf_ids()
-            pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
-                kf_ids
+            pts, dev = self._device_local_map_vi(kf_ids)
+            last_kf = self.map.keyframes[self.last_kf_id]
+            ns_kf = last_kf.nav["state"]
+            t_kf = last_kf.timestamp
+            map_version = self.map.version
+        batch_fr = self._imu_batch_since_frame()
+        kf_batch = ImuBatch.empty(self.imu_capacity)
+        if self.imu_since_kf:
+            t = np.array([s[0] for s in self.imu_since_kf], np.float32)
+            g = np.stack(
+                [np.asarray(s[1]) for s in self.imu_since_kf]
+            ).astype(np.float32)
+            a = np.stack(
+                [np.asarray(s[2]) for s in self.imu_since_kf]
+            ).astype(np.float32)
+            n_keep = min(len(t), self.imu_capacity)
+            kf_batch = ImuBatch.from_arrays(
+                g[-n_keep:], a[-n_keep:], t[-n_keep:],
+                capacity=self.imu_capacity,
             )
-        from viorb_tpu.slam.kernels import match_by_projection
-
-        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
-            valid, jnp.bfloat16
-        )[:, None]
-        point_for_feat, res, n, visible = match_by_projection(
-            jnp.asarray(xyz), desc_pm1, jnp.asarray(valid), jnp.asarray(normal),
-            jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(fr.r_cw),
-            jnp.asarray(fr.t_cw), jnp.asarray(fr.xy), fr.desc_pm1,
-            jnp.asarray(fr.valid), self.cam, jnp.float32(15.0),
+        # frame-to-frame with the marginalized prior when the map is
+        # unchanged since the prior was built; otherwise frame-to-KF
+        # (reference: TrackWithIMU's map-updated switch,
+        # src/Tracking.cc:412-534). A STATIC switch: two compiled
+        # programs, zero device syncs.
+        use_prior = (
+            self.frame_prior is not None
+            and self._prior_map_version == map_version
+            and self._nav_last_frame is not None
         )
-        if int(n) < 20:
-            point_for_feat, res, n, visible = match_by_projection(
-                jnp.asarray(xyz), desc_pm1, jnp.asarray(valid), jnp.asarray(normal),
-                jnp.asarray(dmin), jnp.asarray(dmax), jnp.asarray(fr.r_cw),
-                jnp.asarray(fr.t_cw), jnp.asarray(fr.xy), fr.desc_pm1,
-                jnp.asarray(fr.valid), self.cam, jnp.float32(30.0),
+        ns_i = (
+            self._nav_last_frame
+            if use_prior
+            else jax.tree.map(jnp.asarray, ns_kf)
+        )
+        if use_prior:
+            prior_state, prior_info = self.frame_prior.state, self.frame_prior.info
+        else:
+            prior_state, prior_info = ns_i, jnp.zeros((15, 15), jnp.float32)
+        out = self._vi_core(
+            jnp.asarray(image),
+            self.nav_cur, ns_i, batch_fr, kf_batch,
+            jnp.float32(last_t), jnp.float32(ts), jnp.float32(t_kf),
+            jnp.asarray(self.bias_g), jnp.asarray(self.bias_a),
+            jnp.asarray(self.gravity), prior_state, prior_info,
+            *dev, use_prior=use_prior,
+        )
+        (feats, xy_d, fdesc, pf_d, vis_d, _n, nav_pred_d, ns_j_d, inl_d,
+         marg_d) = out
+        # the frame's single host pull
+        (xy, level, angle, desc01, fvalid, pf, visible, inl, nav_pred_np,
+         ns_j_np, marg) = jax.device_get(
+            (
+                xy_d, feats.level, feats.angle, feats.desc01, feats.valid,
+                pf_d, vis_d, inl_d, nav_pred_d, ns_j_d, marg_d,
             )
-        pf = np.asarray(point_for_feat)
+        )
+        nf = xy.shape[0]
+        fr = FrameRecord(
+            timestamp=ts,
+            xy=xy,
+            level=level,
+            angle=angle,
+            desc01=desc01,
+            valid=fvalid,
+            desc_pm1=fdesc,
+            point_idx=np.full(nf, -1, np.int32),
+        )
         matched_feats = np.nonzero(pf >= 0)[0]
+        n_inl = int(inl.sum())
+        nav_pred = jax.tree.map(jnp.asarray, nav_pred_np)
+        fr.r_cw, fr.t_cw = self._tcw_from_nav(nav_pred)
 
-        if len(matched_feats) < 10:
+        if len(matched_feats) < 10 or n_inl < 10:
             # IMU-only dead reckoning (reference src/Tracking.cc:981-1110)
             if ts - self.last_vision_time <= IMU_SAFE_WINDOW:
                 self.state = "IMU_ONLY"
                 self.nav_cur = nav_pred
                 self.n_tracked = 0
-                return
+                return fr
             # beyond the IMU window: BoW relocalization, then a 20-frame
             # bias re-solve before resuming VI (reference
             # src/Tracking.cc:2127-2291 + :1053-1082)
             if self._relocalize(fr):
                 self._begin_reloc_bias_prepare(fr, ts)
-                return
+                return fr
             self.state = "LOST"
             self.n_tracked = 0
-            return
+            return fr
 
-        # 15-DoF VI pose optimization against the last keyframe
-        nf = fr.xy.shape[0]
-        obs_pts = np.zeros((nf, 3), np.float32)
-        obs_valid = np.zeros(nf, bool)
-        inv_s2 = np.ones(nf, np.float32)
-        obs_pts[matched_feats] = xyz[pf[matched_feats]]
-        obs_valid[matched_feats] = True
-        inv_s2[matched_feats] = 1.0 / self.sigma2[fr.level[matched_feats]]
-        obs = PoseObs(
-            points=jnp.asarray(obs_pts),
-            uv=jnp.asarray(fr.xy),
-            inv_sigma2=jnp.asarray(inv_s2),
-            valid=jnp.asarray(obs_valid),
-        )
-        last_kf = self.map.keyframes[self.last_kf_id]
-        ns_i = jax.tree.map(jnp.asarray, last_kf.nav["state"])
-        # preintegration from last KF to this frame: the since-KF buffer
-        # (includes since-frame samples)
-        kf_batch = ImuBatch.empty(self.imu_capacity)
-        if self.imu_since_kf:
-            t = np.array([s[0] for s in self.imu_since_kf], np.float32)
-            g = np.stack([np.asarray(s[1]) for s in self.imu_since_kf]).astype(np.float32)
-            a = np.stack([np.asarray(s[2]) for s in self.imu_since_kf]).astype(np.float32)
-            n_keep = min(len(t), self.imu_capacity)
-            kf_batch = ImuBatch.from_arrays(
-                g[-n_keep:], a[-n_keep:], t[-n_keep:], capacity=self.imu_capacity
-            )
-        pre_kf = preintegrate(
-            kf_batch,
-            jnp.asarray(self.bias_g),
-            jnp.asarray(self.bias_a),
-            jnp.float32(last_kf.timestamp),
-            jnp.float32(ts),
-            self.imu_noise,
-        )
-        # bias random-walk information ~ 1/(rw_var * dt)
-        bias_info = jnp.concatenate(
-            [
-                jnp.full(3, 1.0 / max(self.imu_noise.gyro_bias_rw_var, 1e-12)),
-                jnp.full(3, 1.0 / max(self.imu_noise.acc_bias_rw_var, 1e-12)),
-            ]
-        ) / jnp.maximum(pre_kf.dt, 1e-3)
-        nav_j = nav_pred
-        # frame-to-frame with the marginalized prior when the map is
-        # unchanged since the prior was built; otherwise frame-to-KF
-        # (reference: TrackWithIMU's map-updated switch,
-        # src/Tracking.cc:412-534)
-        use_prior = (
-            self.frame_prior is not None
-            and self._prior_map_version == self.map.version
-            and self._nav_last_frame is not None
-        )
-        if use_prior:
-            ns_j, ns_i_out, inlier, marg_info = pose_optimization_vi(
-                nav_j, self._nav_last_frame, obs, self.cam, self.ext, pre,
-                jnp.asarray(self.gravity), bias_info,
-                prior=self.frame_prior,
-                rounds=2, iters_per_round=5, optimize_i=True,
-            )
-        else:
-            ns_j, ns_i_out, inlier, marg_info = pose_optimization_vi(
-                nav_j, ns_i, obs, self.cam, self.ext, pre_kf,
-                jnp.asarray(self.gravity), bias_info,
-                rounds=2, iters_per_round=5, optimize_i=False,
-            )
-        inl = np.asarray(inlier)
-        self.n_tracked = int(inl.sum())
-        if self.n_tracked < 10:
-            if ts - self.last_vision_time <= IMU_SAFE_WINDOW:
-                self.state = "IMU_ONLY"
-                self.nav_cur = nav_pred
-                return
-            if self._relocalize(fr):
-                self._begin_reloc_bias_prepare(fr, ts)
-                return
-            self.state = "LOST"
-            return
+        ns_j = jax.tree.map(jnp.asarray, ns_j_np)
+        self.n_tracked = n_inl
         self.state = "OK"
         self.last_vision_time = ts
         self.nav_cur = ns_j
@@ -928,20 +928,19 @@ class MonoViSlam(MonoSlam):
         # frame's prior (true Schur marginal in frame-to-frame mode)
         from viorb_tpu.optim import ViPosePrior
 
-        mi = 0.5 * (marg_info + marg_info.T)
+        mi = 0.5 * (marg + marg.T)
         self.frame_prior = ViPosePrior(
-            state=ns_j, info=mi, valid=jnp.asarray(True)
+            state=ns_j, info=jnp.asarray(mi), valid=jnp.asarray(True)
         )
-        self._prior_map_version = self.map.version
+        self._prior_map_version = map_version
         self._nav_last_frame = ns_j
 
         # record matches, counters (alive-gated: async culls may race)
-        fr.point_idx = np.full(nf, -1, np.int32)
         ok_feats = np.nonzero((pf >= 0) & inl)[0]
         fr.point_idx[ok_feats] = pts[pf[ok_feats]]
         if len(pts):
             with self.map_lock:
-                vis = np.asarray(visible)[: len(pts)]
+                vis = visible[: len(pts)]
                 alive = self.map.pt_active[pts]
                 self.map.pt_visible[pts[vis & alive[: len(vis)]]] += 1
                 ok_alive = ok_feats[self.map.pt_active[fr.point_idx[ok_feats]]]
@@ -954,6 +953,26 @@ class MonoViSlam(MonoSlam):
         if self._need_new_keyframe(ts):
             self._insert_keyframe(fr)
             self.frames_since_kf = 0
+        return fr
+
+    def _device_local_map_vi(self, kf_ids):
+        """Padded local-map device buffers for the fused VI core (same
+        layout as the mono _device_local_map; caller holds the lock)."""
+        key = (id(self.map), self.map.version, self.last_kf_id)
+        if self._lm_cache is not None and self._lm_cache[0] == key:
+            return self._lm_cache[1], self._lm_cache[2]
+        pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
+            kf_ids
+        )
+        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
+            valid, jnp.bfloat16
+        )[:, None]
+        dev = (
+            jnp.asarray(xyz), desc_pm1, jnp.asarray(valid),
+            jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+        )
+        self._lm_cache = (key, pts, dev)
+        return pts, dev
 
     # -- VI-aware loop closing ---------------------------------------------
 

@@ -150,6 +150,116 @@ def make_pipeline_track_core(cam: PinholeCamera, extractor: OrbExtractor):
     return core
 
 
+def tcw_from_nav(nav, ext):
+    """Camera pose (r_cw, t_cw) from a body NavState, on device
+    (reference Tracking::UpdatePoseFromNS / Frame::UpdatePoseFromNS)."""
+    r_wc = nav.r @ ext.r_bc
+    c_w = nav.p + nav.r @ ext.p_bc
+    r_cw = r_wc.T
+    t_cw = -(r_cw @ c_w)
+    return r_cw, t_cw
+
+
+def make_vi_pipeline_core(cam: PinholeCamera, extractor: OrbExtractor, ext, noise):
+    """One-dispatch VI tracking core for the FULL VI pipeline: IMU
+    preintegration (since-frame AND since-keyframe), NavState propagation,
+    extraction, projection matching (wide-radius retry via lax.cond), and
+    the 15-DoF VI pose optimization with the marginalized frame prior —
+    fused into a single jitted program with ONE host pull per frame.
+
+    Replaces the legacy ~6-dispatch _track_vi path with its mid-frame
+    int(n) host sync. This is the device shape of the reference's
+    TrackWithIMU frame loop (src/Tracking.cc:412-534: PredictNavStateByIMU
+    -> SearchByProjection -> PoseOptimization with prior/marginal).
+
+    use_prior selects the frame-to-frame (prior-carried, optimize_i=True)
+    vs frame-to-KF (optimize_i=False) graph — a STATIC switch the host
+    already knows, so it costs two compilations, not a device sync.
+    """
+    from functools import partial
+
+    from viorb_tpu.imu import preintegrate, propagate_navstate
+    from viorb_tpu.optim.pose_only import ViPosePrior, pose_optimization_vi
+
+    sigma2 = jnp.asarray(extractor.level_sigma2())
+    bias_rw = jnp.concatenate(
+        [
+            jnp.full(3, 1.0 / max(noise.gyro_bias_rw_var, 1e-12)),
+            jnp.full(3, 1.0 / max(noise.acc_bias_rw_var, 1e-12)),
+        ]
+    )
+
+    @partial(jax.jit, static_argnames=("use_prior",))
+    def core(
+        image,
+        nav_cur,  # NavState of the last frame
+        ns_i,  # anchor NavState (last frame if use_prior else last KF)
+        batch_fr,  # ImuBatch since last frame
+        batch_kf,  # ImuBatch since last keyframe
+        t_last,
+        t_now,
+        t_kf,
+        bias_g,
+        bias_a,
+        gravity,
+        prior_state,  # NavState (ignored unless use_prior)
+        prior_info,  # (15,15) (ignored unless use_prior)
+        xyz,
+        desc_pm1,
+        valid,
+        normal,
+        dmin,
+        dmax,
+        use_prior: bool = False,
+    ):
+        pre_fr = preintegrate(batch_fr, bias_g, bias_a, t_last, t_now, noise)
+        nav_pred = propagate_navstate(nav_cur, pre_fr, gravity)
+        r_pred, t_pred = tcw_from_nav(nav_pred, ext)
+
+        feats = extractor._extract(image)
+        xy = undistort_points(cam, feats.xy)
+        fdesc = feats.descriptors_pm1()
+
+        def run_match(radius):
+            return match_by_projection(
+                xyz, desc_pm1, valid, normal, dmin, dmax,
+                r_pred, t_pred, xy, fdesc, feats.valid, cam,
+                jnp.float32(radius),
+            )
+
+        out15 = run_match(15.0)
+        pf, _res, nmatch, visible = jax.lax.cond(
+            out15[2] < 20, lambda: run_match(30.0), lambda: out15
+        )
+        obs = PoseObs(
+            points=xyz[jnp.clip(pf, 0)],
+            uv=xy,
+            inv_sigma2=jnp.where(pf >= 0, 1.0 / sigma2[feats.level], 1.0),
+            valid=pf >= 0,
+        )
+        pre_kf = preintegrate(batch_kf, bias_g, bias_a, t_kf, t_now, noise)
+        if use_prior:
+            bias_info = bias_rw / jnp.maximum(pre_fr.dt, 1e-3)
+            prior = ViPosePrior(
+                state=prior_state, info=prior_info, valid=jnp.asarray(True)
+            )
+            ns_j, _ns_i, inlier, marg = pose_optimization_vi(
+                nav_pred, ns_i, obs, cam, ext, pre_fr, gravity, bias_info,
+                prior=prior, rounds=2, iters_per_round=5, optimize_i=True,
+            )
+        else:
+            bias_info = bias_rw / jnp.maximum(pre_kf.dt, 1e-3)
+            ns_j, _ns_i, inlier, marg = pose_optimization_vi(
+                nav_pred, ns_i, obs, cam, ext, pre_kf, gravity, bias_info,
+                rounds=2, iters_per_round=5, optimize_i=False,
+            )
+        return (
+            feats, xy, fdesc, pf, visible, nmatch, nav_pred, ns_j, inlier, marg
+        )
+
+    return core
+
+
 def identity_carry() -> TrackCarry:
     return TrackCarry(
         jnp.eye(3, dtype=jnp.float32),
