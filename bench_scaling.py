@@ -162,12 +162,13 @@ def main():
             {
                 "metric": "distributed_ba_sharding_overhead",
                 "value": ov8.get("vision", 0.0),
+                # the honest number a virtual mesh CAN produce: the raw
+                # fractional cost of the sharding machinery at 8 shards.
+                # Real scaling efficiency needs real chips (BASELINE.md
+                # north star: >=70% across 2 hosts); vs_baseline is left
+                # null rather than synthesizing a proxy ratio.
                 "unit": "fractional_overhead@8shards_vision",
-                # north star: <=30% machinery overhead leaves >=70%
-                # 2-host efficiency on the table (BASELINE.md)
-                "vs_baseline": round(
-                    (1.0 - ov8.get("vision", 0.0)) / 0.7, 2
-                ),
+                "vs_baseline": None,
                 "extra": {"per_shard": results, "overhead": overhead},
             }
         )
