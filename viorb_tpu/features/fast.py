@@ -35,8 +35,19 @@ ARC_LEN = 9  # contiguous run length for FAST-9/16
 def fast_score_map(image: jax.Array) -> jax.Array:
     """(H,W) f32 -> (H,W) f32 corner score (0 where not a corner at t=0).
 
-    Border of 3 px is zeroed.
+    Border of 3 px is zeroed. On the TPU backend this dispatches to the
+    Pallas kernel (features/fast_pallas.py — image resident in VMEM, one
+    HBM read + one write instead of the (16,H,W) intermediate stack);
+    both paths produce identical scores (tests/test_fast_pallas.py).
     """
+    if jax.default_backend() == "tpu":
+        from viorb_tpu.features.fast_pallas import fast_score_map_pallas
+
+        return fast_score_map_pallas(image)
+    return _fast_score_map_jnp(image)
+
+
+def _fast_score_map_jnp(image: jax.Array) -> jax.Array:
     c = image
     # neighbours: (16,H,W)
     neigh = jnp.stack(
