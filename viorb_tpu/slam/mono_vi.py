@@ -33,9 +33,7 @@ from viorb_tpu.optim import (
     BAObservations,
     Extrinsics,
     ImuChain,
-    PoseObs,
     ViBAState,
-    pose_optimization_vi,
     vi_ba_two_phase,
 )
 from viorb_tpu.slam.mono import FrameRecord, MonoSlam, normalize_np
