@@ -50,3 +50,25 @@ def test_trajectory_save(tmp_path):
     pk = str(tmp_path / "kf.txt")
     save_keyframe_trajectory_tum(slam, pk)
     assert len(np.loadtxt(pk)) >= 2
+
+
+def test_gravity_eval(tmp_path):
+    """eval.gravity: angle of dumped gw estimates vs true gravity
+    (reference evaluate_viorb/evaluate_gravity.py:1-40)."""
+    from viorb_tpu.eval.gravity import gravity_angle_deg, main, quat_to_rot
+
+    # quat_to_rot sanity: 90 deg about z maps x->y
+    r = quat_to_rot(np.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]))
+    assert np.allclose(r @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-6)
+
+    g_true = np.array([0.0, 0.0, -9.81])
+    tilt = quat_to_rot(np.array([np.cos(0.05), np.sin(0.05), 0, 0]))
+    g_est = tilt @ g_true
+    ang = gravity_angle_deg(g_est, g_true)
+    assert abs(ang - np.degrees(2 * 0.05)) < 1e-3
+
+    p = tmp_path / "gw.txt"
+    rows = np.column_stack([np.arange(3.0), np.tile(g_est, (3, 1))])
+    np.savetxt(p, rows)
+    final = main([str(p)])
+    assert abs(final - ang) < 1e-3

@@ -77,3 +77,37 @@ def test_vi_init_with_noise():
     assert res is not None and res.success
     assert abs(res.scale - 3.0) / 3.0 < 0.05
     np.testing.assert_allclose(res.gravity_w, GRAVITY_W, atol=0.3)
+
+
+def test_eiv_scale_solve_removes_attenuation():
+    """OLS on an errors-in-variables system shrinks the scale by the
+    noise-to-signal ratio of the noisy column; the Fuller-corrected solve
+    (vi_init._eiv_scale_solve) must recover the true scale (the round-2/3
+    ±12% scale-gate root cause)."""
+    from viorb_tpu.slam.vi_init import _eiv_scale_solve
+
+    rng = np.random.default_rng(0)
+    n, d = 600, 5
+    s_true = 4.0
+    theta_true = rng.normal(0, 1, d)
+    a_true = rng.normal(0, 1.0, n)
+    B = rng.normal(0, 1.0, (n, d))
+    sigma_a, sigma_b = 0.35, 0.02
+    b = a_true * s_true + B @ theta_true + rng.normal(0, sigma_b, n)
+    a = a_true + rng.normal(0, sigma_a, n)
+
+    # plain OLS attenuates by ~ var_a/(var_a+sigma_a^2) = 1/1.1225
+    x_ols = np.linalg.lstsq(np.column_stack([a, B]), b, rcond=None)[0]
+    assert x_ols[0] < 0.95 * s_true, f"OLS not attenuated? {x_ols[0]}"
+
+    s_hat, theta = _eiv_scale_solve(
+        a, B, b,
+        sigma_b2=np.full(n, sigma_b**2),
+        c_rows=np.ones(n),  # Var(a_i) = sigma_p^2 * 1
+    )
+    # the corrected estimator is unbiased; its standard error at this
+    # noise level is ~0.06 (1.5%), so gate at ~2.5 sigma and require it
+    # to beat the OLS bias by a wide margin
+    assert abs(s_hat - s_true) / s_true < 0.04, f"EIV scale {s_hat}"
+    assert abs(s_hat - s_true) < 0.5 * abs(x_ols[0] - s_true)
+    np.testing.assert_allclose(theta, theta_true, atol=0.15)

@@ -84,7 +84,16 @@ class OrbExtractor:
         self.level_quota = [int(q) for q in quota]
         self.capacity = int(sum(self.level_quota))
         self.scales = [scale_factor**l for l in range(n_levels)]
-        self._jitted = {}
+
+    def config_key(self) -> tuple:
+        """Extraction is pure config: two extractors with the same key
+        produce identical programs, so jitted artifacts are shared
+        process-wide (every SLAM instance otherwise recompiles its own
+        copy — minutes of wasted XLA time across a test suite)."""
+        return (
+            self.n_features, self.n_levels, self.scale_factor,
+            self.fast_threshold, self.fast_min_threshold, self.cell,
+        )
 
     def level_sigma2(self) -> np.ndarray:
         return np.array([s * s for s in self.scales], np.float32)
@@ -102,6 +111,11 @@ class OrbExtractor:
         across levels."""
         from viorb_tpu.features.orb import PATCH_HALF, gather_patches
 
+        # accept uint8 frames and convert ON DEVICE: camera images are
+        # 8-bit, and shipping them to the chip unconverted is 4x less
+        # host->device bandwidth (the per-frame upload is the only
+        # mandatory transfer in the streaming pipeline)
+        image = image.astype(jnp.float32)
         pyramid = build_pyramid(image, self.n_levels, self.scale_factor)
         pad = PATCH_HALF
         h0, w0 = pyramid[0].shape
@@ -159,9 +173,15 @@ class OrbExtractor:
         )
 
     def extract(self, image) -> FrameFeatures:
-        """image: (H,W) f32/u8 array (0..255). Jit-cached per shape."""
-        image = jnp.asarray(image, jnp.float32)
-        key = image.shape
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._extract)
-        return self._jitted[key](image)
+        """image: (H,W) f32/u8 array (0..255). Jit-cached per
+        config+shape+dtype PROCESS-WIDE; uint8 input uploads 4x fewer
+        bytes and converts on device."""
+        image = jnp.asarray(image)
+        key = (self.config_key(), image.shape, str(image.dtype))
+        fn = _EXTRACT_CACHE.get(key)
+        if fn is None:
+            fn = _EXTRACT_CACHE[key] = jax.jit(self._extract)
+        return fn(image)
+
+
+_EXTRACT_CACHE: dict = {}

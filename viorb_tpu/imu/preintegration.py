@@ -143,6 +143,7 @@ def _step(state: PreintegratedImu, inputs, noise: ImuNoise) -> PreintegratedImu:
     )
 
 
+@jax.jit
 def preintegrate(
     batch: ImuBatch,
     bias_g: jax.Array,
@@ -273,6 +274,7 @@ def compose_preint(a: PreintegratedImu, b: PreintegratedImu) -> PreintegratedImu
     )
 
 
+@jax.jit
 def preintegrate_batch(
     batches: ImuBatch,
     bias_g: jax.Array,

@@ -63,6 +63,12 @@ def main(argv=None):
     ap.add_argument("--localization-only", action="store_true",
                     help="track against the (loaded) map without mapping "
                          "(reference ActivateLocalizationMode)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="latency-hiding tracking: device-resident pose "
+                         "carry + collector thread with batched pulls "
+                         "(mono/stereo-less modes; keyframe decisions lag "
+                         "by up to --streaming-depth frames)")
+    ap.add_argument("--streaming-depth", type=int, default=8)
     args = ap.parse_args(argv)
     if args.dataset != "synthetic" and not args.path:
         ap.error(f"--dataset {args.dataset} requires --path <sequence dir>")
@@ -168,7 +174,8 @@ def main(argv=None):
         from viorb_tpu.slam.mono import MonoSlam
 
         slam = MonoSlam(
-            cfg.camera, n_features=n_features, local_window=cfg.local_window
+            cfg.camera, n_features=n_features, local_window=cfg.local_window,
+            streaming=args.streaming, streaming_depth=args.streaming_depth,
         )
 
     if args.load_map:
@@ -283,6 +290,7 @@ def main(argv=None):
 
 
 def _finish(args, slam, viewer, times, frames):
+    slam.wait_mapping_idle()
     from viorb_tpu.io.trajectory import (
         save_keyframe_trajectory_navstate,
         save_keyframe_trajectory_tum,

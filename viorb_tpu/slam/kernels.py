@@ -143,6 +143,78 @@ def project_depth(r_cw, t_cw, xyz, cam: PinholeCamera):
     return project(cam, pc), pc[:, 2]
 
 
+@jax.jit
+def triangulate_between(
+    r1: jax.Array,  # (3,3) pose of KF1
+    t1: jax.Array,
+    xy1: jax.Array,  # (N1,2) undistorted keypoints
+    lv1: jax.Array,  # (N1,) pyramid level
+    desc1_01: jax.Array,  # (N1,256) uint8 {0,1}
+    free1: jax.Array,  # (N1,) valid & unbound
+    r2: jax.Array,
+    t2: jax.Array,
+    xy2: jax.Array,
+    lv2: jax.Array,
+    desc2_01: jax.Array,
+    free2: jax.Array,
+    cam: PinholeCamera,
+    sigma2: jax.Array,  # (L,) per-level variance factors
+):
+    """The whole CreateNewMapPoints compute for one keyframe pair as ONE
+    static-shape program: epipolar-gated Hamming matching, batched DLT
+    triangulation of EVERY feature slot (masked), and the acceptance
+    checks (depth / chi2 reprojection / parallax) — reference
+    LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:1235.
+
+    Static shapes matter doubly on TPU: the previous host-stepped version
+    triangulated `len(matches)` rows, which recompiled the XLA program for
+    every distinct match count (seconds each over a remote-attached chip);
+    this one compiles once per feature capacity and needs a single
+    device->host pull of (idx, X, good).
+    """
+    from viorb_tpu.solvers import projection_matrix, triangulate_two_view
+
+    d1 = desc1_01.astype(jnp.bfloat16) * 2 - 1
+    d2 = desc2_01.astype(jnp.bfloat16) * 2 - 1
+    F12 = fundamental_from_poses(r1, t1, r2, t2, cam.K)
+    res = match_for_triangulation(xy1, d1, free1, xy2, d2, free2, F12)
+    idx = res.idx  # (N1,) match in KF2 or -1
+    j = jnp.maximum(idx, 0)
+    n1 = xy1.shape[0]
+    P1 = projection_matrix(cam.K, r1, t1)
+    P2 = projection_matrix(cam.K, r2, t2)
+    X = triangulate_two_view(
+        jnp.broadcast_to(P1, (n1, 3, 4)),
+        jnp.broadcast_to(P2, (n1, 3, 4)),
+        xy1,
+        xy2[j],
+    )
+    pc1 = X @ r1.T + t1
+    pc2 = X @ r2.T + t2
+    uv1 = project(cam, pc1)
+    uv2 = project(cam, pc2)
+    e1 = jnp.sum((uv1 - xy1) ** 2, axis=-1)
+    e2 = jnp.sum((uv2 - xy2[j]) ** 2, axis=-1)
+    th1 = 5.991 * sigma2[lv1]
+    th2 = 5.991 * sigma2[lv2[j]]
+    c1 = -r1.T @ t1
+    c2 = -r2.T @ t2
+    ray1 = X - c1
+    ray2 = X - c2
+    cosp = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-12
+    )
+    good = (
+        (idx >= 0)
+        & (pc1[:, 2] > 0.05)
+        & (pc2[:, 2] > 0.05)
+        & (e1 < th1)
+        & (e2 < th2)
+        & (cosp < 0.9998)
+    )
+    return idx, X, good
+
+
 @partial(jax.jit, static_argnames=("max_dist",))
 def match_stereo(
     xy_l: jax.Array,  # (Nl,2) left keypoints (undistorted/rectified)

@@ -52,12 +52,8 @@ from viorb_tpu.features.matching import (
     window_gate,
     valid_gate,
 )
-from viorb_tpu.slam.kernels import (
-    fundamental_from_poses,
-    match_by_projection,
-    match_for_triangulation,
-)
-from viorb_tpu.solvers import triangulate_two_view, projection_matrix, two_view_init
+from viorb_tpu.slam.kernels import match_by_projection
+from viorb_tpu.solvers import two_view_init
 
 
 @dataclass
@@ -66,7 +62,7 @@ class FrameRecord:
     xy: np.ndarray  # undistorted (N,2)
     level: np.ndarray
     angle: np.ndarray
-    desc01: np.ndarray
+    desc01: Optional[np.ndarray]  # (N,256) uint8; None until host_desc01()
     valid: np.ndarray
     desc_pm1: jax.Array  # device (N,256) bf16
     r_cw: Optional[np.ndarray] = None
@@ -74,6 +70,15 @@ class FrameRecord:
     point_idx: Optional[np.ndarray] = None  # (N,) map point per feature
     ur: Optional[np.ndarray] = None  # (N,) stereo right-u (-1 none)
     depth: Optional[np.ndarray] = None  # (N,) stereo/RGB-D depth (-1 none)
+    # device-resident descriptor bits: the fused tracking paths keep the
+    # 256 KB desc01 block OUT of the per-frame host pull (it is only
+    # needed when the frame becomes a keyframe or relocalizes)
+    desc01_dev: Optional[jax.Array] = None
+
+    def host_desc01(self) -> np.ndarray:
+        if self.desc01 is None:
+            self.desc01 = np.asarray(self.desc01_dev)
+        return self.desc01
 
 
 class MonoSlam:
@@ -96,6 +101,8 @@ class MonoSlam:
         vocabulary=None,
         enable_loop_closing: bool = False,
         async_mapping: bool = False,
+        streaming: bool = False,
+        streaming_depth: int = 8,
     ):
         self.cam = cam
         self.extractor = OrbExtractor(n_features=n_features)
@@ -145,17 +152,55 @@ class MonoSlam:
         # src/Tracking.cc:908-1010)
         self.localization_only = False
         # async mapping worker (reference LocalMapping thread)
-        self.async_mapping = async_mapping
+        self.async_mapping = async_mapping or streaming
         self.map_lock = threading.RLock()
         self._abort_ba = False
+        self._ba_skips = 0
+        # post-loop GBA thread + abort epoch (reference spawns a killable
+        # GBA thread per loop, src/LoopClosing.cc:606, :432-460)
+        self._gba_thread: Optional[threading.Thread] = None
+        self._loop_epoch = 0
         self._mapping_queue: "queue.Queue[Optional[int]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._worker_error: Optional[BaseException] = None
-        if async_mapping:
+        if self.async_mapping:
             self._worker = threading.Thread(
                 target=self._mapping_worker, daemon=True
             )
             self._worker.start()
+        # streaming mode: the tracker thread only DISPATCHES the fused
+        # core (device-resident pose/velocity carry, zero per-frame
+        # pulls); a collector thread drains the in-flight results with
+        # batched device_gets and runs the host bookkeeping (map stats,
+        # trajectory, keyframe decision) with bounded lag. This hides the
+        # host<->device round trip entirely — the TPU-native shape of the
+        # reference's free-running tracking thread + realtime mode.
+        self.streaming = streaming
+        self.mapping_backlog_limit = 2
+        # (anchor_kf_id, r_cw, t_cw, map_version) the carry is aligned to
+        self._carry_anchor = None
+        # max in-flight frames: bounds both device memory and the
+        # bookkeeping lag (keyframe decisions arrive at most this many
+        # frames late). Collector speed, not queue growth, then governs
+        # throughput — the tracker blocks when the window is full.
+        self.streaming_depth = streaming_depth
+        self._stream_core = None
+        self._dev_carry = None
+        self._stream_q: "list" = []  # in-flight (ts, outs, pts)
+        self._stream_cv = threading.Condition()
+        self._stream_stop = False
+        self._stream_fail_count = 0
+        self._stream_failed = False
+        self._collector: Optional[threading.Thread] = None
+        self._collector_error: Optional[BaseException] = None
+        self._last_info = {
+            "state": self.state, "n_tracked": 0, "n_kfs": 0, "n_points": 0,
+        }
+        if streaming:
+            self._collector = threading.Thread(
+                target=self._collector_loop, daemon=True
+            )
+            self._collector.start()
 
     # ------------------------------------------------------------------
 
@@ -178,6 +223,11 @@ class MonoSlam:
         )
 
     def process_frame(self, image, ts: float) -> dict:
+        if self.streaming:
+            return self._process_frame_streaming(image, ts)
+        return self._process_frame_once(image, ts)
+
+    def _process_frame_once(self, image, ts: float) -> dict:
         if (
             self.state != "NOT_INITIALIZED"
             and self.last_frame is not None
@@ -203,6 +253,239 @@ class MonoSlam:
             "n_kfs": len(self.map.kf_ids()),
             "n_points": len(self.map.active_point_ids()),
         }
+
+    # -- streaming mode ---------------------------------------------------
+
+    def _process_frame_streaming(self, image, ts: float) -> dict:
+        """Dispatch-only frame entry: the fused core runs with a
+        device-resident TrackCarry; host bookkeeping happens on the
+        collector thread. Initialization / relocalization / persistent
+        failure fall back to the synchronous path (stream flushed first,
+        so host state is current)."""
+        if self._collector_error is not None:
+            raise RuntimeError("collector died") from self._collector_error
+        steady = (
+            self.state != "NOT_INITIALIZED"
+            and not self._stream_failed
+            and self._dev_carry is not None
+        )
+        if not steady:
+            self.flush_stream()
+            if self._stream_failed:
+                # frames failed while in flight: the last good frame is
+                # several frames old, so the per-frame velocity model no
+                # longer applies (prediction falls back to the last pose
+                # with the wide-radius retry)
+                self.velocity = None
+            self._stream_failed = False
+            self._stream_fail_count = 0
+            info = self._process_frame_once(image, ts)
+            if (
+                self.state == "OK"
+                and self.last_frame is not None
+                and self.last_frame.r_cw is not None
+            ):
+                self._seed_stream_carry()
+            self._last_info = info
+            return info
+        if self._stream_core is None:
+            from viorb_tpu.slam.tracking_loop import make_streaming_track_core
+
+            self._stream_core = make_streaming_track_core(
+                self.cam, self.extractor
+            )
+        # overload guard: when the mapping worker falls more than
+        # `mapping_backlog_limit` jobs behind, the map is going stale
+        # faster than it is being built — block (degrade toward lock-step)
+        # instead of racing ahead of the map. On hardware where mapping
+        # keeps up this never engages.
+        import time as _time
+
+        deadline = _time.monotonic() + 30.0
+        while (
+            self._mapping_queue.unfinished_tasks >= self.mapping_backlog_limit
+            and self._worker_error is None
+            and _time.monotonic() < deadline
+        ):
+            _time.sleep(0.002)
+        pts, dev = self._device_local_map()
+        # carry re-anchoring: every published map update (BA, fusion, loop
+        # correction) moves the world slightly, but the device carry is
+        # still in PRE-update coordinates — left alone, the mismatch
+        # compounds per keyframe until projection matching falls off its
+        # search radius (measured: tracked 274 -> 140 -> 12 within three
+        # frames). Preserve the carry pose RELATIVE to its reference
+        # keyframe across the update: T_f' = (T_f ∘ T_kf^{-1}) ∘ T_kf' =
+        # T_f ∘ (T_kf^{-1} ∘ T_kf'). This is the streaming counterpart of
+        # the reference's map-update re-bases (src/Tracking.cc:896-906)
+        # and of the lock-step pipeline's post-BA frame resync.
+        with self.map_lock:
+            anchor = self._carry_anchor
+            ver = self.map.version
+            if anchor is not None and anchor[3] != ver:
+                akf = self.map.keyframes.get(anchor[0])
+                if akf is not None:
+                    r_old, t_old = anchor[1], anchor[2]
+                    # D = T_akf_old^{-1} ∘ T_akf_new
+                    d_r = r_old.T @ akf.r_cw
+                    d_t = r_old.T @ (akf.t_cw - t_old)
+                    if (
+                        np.abs(d_t).max() > 1e-7
+                        or np.abs(d_r - np.eye(3)).max() > 1e-7
+                    ):
+                        c = self._dev_carry
+                        r_f = c.r_cw @ jnp.asarray(d_r.astype(np.float32))
+                        t_f = c.r_cw @ jnp.asarray(
+                            d_t.astype(np.float32)
+                        ) + c.t_cw
+                        from viorb_tpu.slam.tracking_loop import TrackCarry
+
+                        self._dev_carry = TrackCarry(
+                            r_f, t_f, c.vel_r, c.vel_t
+                        )
+            kf = self.map.keyframes.get(self.last_kf_id)
+            if kf is not None:
+                self._carry_anchor = (
+                    self.last_kf_id, kf.r_cw.copy(), kf.t_cw.copy(), ver
+                )
+        carry, outs = self._stream_core(
+            self._dev_carry, jnp.asarray(image), *dev
+        )
+        self._dev_carry = carry
+        # adaptive depth: when tracking confidence is low (map-coverage
+        # boundary, fast motion) every lagged frame costs accuracy — drop
+        # to depth 1 (lock-step-like) until confidence recovers; full
+        # depth only when tracking is comfortably inside the map
+        depth = self.streaming_depth if self.n_tracked >= 40 else 1
+        with self._stream_cv:
+            # backpressure: bound in-flight device memory + failure lag
+            while (
+                len(self._stream_q) >= depth
+                and self._collector_error is None
+            ):
+                self._stream_cv.wait(timeout=1.0)
+            self._stream_q.append((ts, outs, pts))
+            self._stream_cv.notify_all()
+        return dict(self._last_info, queued=len(self._stream_q))
+
+    def _seed_stream_carry(self):
+        from viorb_tpu.slam.tracking_loop import TrackCarry
+
+        last = self.last_frame
+        if self.velocity is not None:
+            vr, vt = self.velocity
+        else:
+            vr, vt = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        self._dev_carry = TrackCarry(
+            jnp.asarray(last.r_cw), jnp.asarray(last.t_cw),
+            jnp.asarray(vr), jnp.asarray(vt),
+        )
+        with self.map_lock:
+            kf = self.map.keyframes.get(self.last_kf_id)
+            self._carry_anchor = (
+                None
+                if kf is None
+                else (self.last_kf_id, kf.r_cw.copy(), kf.t_cw.copy(),
+                      self.map.version)
+            )
+
+    def flush_stream(self):
+        """Block until every in-flight streamed frame has been collected
+        (no-op outside streaming mode)."""
+        if self._collector is None:
+            return
+        with self._stream_cv:
+            while self._stream_q and self._collector_error is None:
+                self._stream_cv.wait(timeout=1.0)
+        if self._collector_error is not None:
+            raise RuntimeError("collector died") from self._collector_error
+
+    def _collector_loop(self):
+        while True:
+            with self._stream_cv:
+                while not self._stream_q and not self._stream_stop:
+                    self._stream_cv.wait()
+                if self._stream_stop and not self._stream_q:
+                    return
+                batch = list(self._stream_q)
+            try:
+                self._collect_batch(batch)
+            except BaseException as e:
+                self._collector_error = e
+            with self._stream_cv:
+                del self._stream_q[: len(batch)]
+                self._stream_cv.notify_all()
+            if self._collector_error is not None:
+                return
+
+    def _collect_batch(self, batch):
+        """Pull many frames' bookkeeping fields in ONE device_get, then run
+        the same per-frame host logic as the synchronous fused path."""
+        pulled = jax.device_get(
+            [
+                (
+                    o[1], o[0].level, o[0].angle, o[0].valid, o[3], o[4],
+                    o[5], o[6], o[7], o[8],
+                )
+                for (_ts, o, _pts) in batch
+            ]
+        )
+        for (ts, outs, pts), vals in zip(batch, pulled):
+            feats, _xy_d, fdesc = outs[0], outs[1], outs[2]
+            (xy, level, angle, fvalid, pf, r_new, t_new, inl, visible,
+             ok) = vals
+            nf = xy.shape[0]
+            fr = FrameRecord(
+                timestamp=ts,
+                xy=xy,
+                level=level,
+                angle=angle,
+                desc01=None,
+                valid=fvalid,
+                desc_pm1=fdesc,
+                point_idx=np.full(nf, -1, np.int32),
+                desc01_dev=feats.desc01,
+            )
+            if not bool(ok):
+                # the device carry froze at the last good pose, so a
+                # one-frame dropout (blur, occlusion) self-heals; a second
+                # consecutive failure hands control back to the synchronous
+                # fallback chain (reference-KF matching -> relocalization)
+                # before more in-flight frames go to waste
+                self._stream_fail_count += 1
+                if self._stream_fail_count >= 2:
+                    self._stream_failed = True
+                    self.state = "LOST"
+                self._last_info = dict(self._last_info, state=self.state)
+                continue
+            self._stream_fail_count = 0
+            fr.r_cw = np.asarray(r_new)
+            fr.t_cw = np.asarray(t_new)
+            self.n_tracked = int(inl.sum())
+            self.state = "OK"
+            ok_feats = np.nonzero((pf >= 0) & inl)[0]
+            fr.point_idx[ok_feats] = pts[pf[ok_feats]]
+            if len(pts):
+                with self.map_lock:
+                    vis = visible[: len(pts)]
+                    alive = self.map.pt_active[pts]
+                    self.map.pt_visible[pts[vis & alive[: len(vis)]]] += 1
+                    ok_alive = ok_feats[
+                        self.map.pt_active[fr.point_idx[ok_feats]]
+                    ]
+                    self.map.pt_found[fr.point_idx[ok_alive]] += 1
+            self.frames_since_kf += 1
+            if self._need_new_keyframe(ts):
+                self._insert_keyframe(fr)
+                self.frames_since_kf = 0
+            self._record_trajectory(fr, ts)
+            self.last_frame = fr
+            self._last_info = {
+                "state": self.state,
+                "n_tracked": self.n_tracked,
+                "n_kfs": len(self.map.kf_ids()),
+                "n_points": len(self.map.active_point_ids()),
+            }
 
     # -- initialization -------------------------------------------------
 
@@ -290,7 +573,7 @@ class MonoSlam:
             xy=fr.xy.copy(),
             level=fr.level.copy(),
             angle=fr.angle.copy(),
-            desc01=fr.desc01.copy(),
+            desc01=fr.host_desc01().copy(),
             valid=fr.valid.copy(),
             point_idx=np.full(fr.xy.shape[0], -1, np.int32),
             ur=None if fr.ur is None else fr.ur.copy(),
@@ -343,8 +626,9 @@ class MonoSlam:
         loop uploads nothing but the image."""
         with self.map_lock:
             key = (id(self.map), self.map.version, self.last_kf_id)
-            if self._lm_cache is not None and self._lm_cache[0] == key:
-                return self._lm_cache[1], self._lm_cache[2]
+            cache = self._lm_cache
+            if cache is not None and cache[0] == key:
+                return cache[1], cache[2]
             kf_ids = self._local_kf_ids()
             pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
                 kf_ids
@@ -386,14 +670,14 @@ class MonoSlam:
         feats, xy_d, fdesc, pf_d, r_d, t_d, inl_d, vis_d, _n = self._track_core(
             jnp.asarray(image), jnp.asarray(r_pred), jnp.asarray(t_pred), *dev
         )
-        # the frame's single host pull
-        xy, level, angle, desc01, fvalid, pf, r_new, t_new, inl, visible = (
+        # the frame's single host pull (desc01 stays on device: it is only
+        # needed when the frame becomes a keyframe or relocalizes)
+        xy, level, angle, fvalid, pf, r_new, t_new, inl, visible = (
             jax.device_get(
                 (
                     xy_d,
                     feats.level,
                     feats.angle,
-                    feats.desc01,
                     feats.valid,
                     pf_d,
                     r_d,
@@ -409,10 +693,11 @@ class MonoSlam:
             xy=xy,
             level=level,
             angle=angle,
-            desc01=desc01,
+            desc01=None,
             valid=fvalid,
             desc_pm1=fdesc,
             point_idx=np.full(nf, -1, np.int32),
+            desc01_dev=feats.desc01,
         )
         fr.r_cw, fr.t_cw = r_pred, t_pred
         matched_feats = np.nonzero(pf >= 0)[0]
@@ -665,7 +950,7 @@ class MonoSlam:
 
         d_f = fr.desc_pm1
         if self.loop_closer is not None:
-            _, qbow = self.vocabulary.transform(fr.desc01, fr.valid)
+            _, qbow = self.vocabulary.transform(fr.host_desc01(), fr.valid)
             cands = self.loop_closer.db.query(qbow, max_results=5)
         else:
             scored = []
@@ -818,8 +1103,18 @@ class MonoSlam:
             fixed = sorted(anchor)[:8]
             if len(self.map.kf_ids()) <= 2:
                 fixed = [min(self.map.kf_ids())]
-        if not (self.async_mapping and not self._mapping_queue.empty()):
-            self._local_ba(window, fixed)
+        # BA abort on a pending newer keyframe (reference mbAbortBA) — but
+        # bounded: under sustained backlog a naive skip starves BA
+        # entirely, so at most 2 consecutive jobs may skip it
+        if (
+            self.async_mapping
+            and not self._mapping_queue.empty()
+            and self._ba_skips < 2
+        ):
+            self._ba_skips += 1
+            return
+        self._ba_skips = 0
+        self._local_ba(window, fixed)
 
     def _mapping_worker(self):
         while True:
@@ -834,16 +1129,27 @@ class MonoSlam:
                 self._mapping_queue.task_done()
 
     def wait_mapping_idle(self):
-        """Block until the mapping queue drains (lock-step no-op). The
-        reference's bLocalMapAcceptKF lock-step wait
+        """Block until the stream and the mapping queue drain (lock-step
+        no-op). The reference's bLocalMapAcceptKF lock-step wait
         (Examples/ROS/ORB_VIO/src/ros_vio.cc:263-276)."""
+        self.flush_stream()
         if self.async_mapping:
             self._mapping_queue.join()
+            t = self._gba_thread
+            if t is not None and t.is_alive():
+                t.join(timeout=300)
             if self._worker_error is not None:
                 raise RuntimeError("mapping worker died") from self._worker_error
 
     def shutdown(self):
-        """Stop the mapping worker (reference System::Shutdown)."""
+        """Stop the collector and mapping worker (reference
+        System::Shutdown)."""
+        if self._collector is not None and self._collector.is_alive():
+            with self._stream_cv:
+                self._stream_stop = True
+                self._stream_cv.notify_all()
+            self._collector.join(timeout=30)
+            self._collector = None
         if self._worker is not None and self._worker.is_alive():
             self._mapping_queue.put(None)
             self._worker.join(timeout=30)
@@ -863,6 +1169,11 @@ class MonoSlam:
             self.last_kf_id = -1
             self.frames_since_kf = 0
             self.velocity = None
+            self._dev_carry = None
+            self._carry_anchor = None
+            self._stream_failed = False
+            self._stream_fail_count = 0
+            self._lm_cache = None
             self.traj_entries = []
             self.n_tracked = 0
             self.lost_frames = 0
@@ -910,6 +1221,9 @@ class MonoSlam:
             self.velocity = None
             self.frames_since_kf = 0
             self.localization_only = localization_only
+            self._dev_carry = None
+            self._carry_anchor = None
+            self._lm_cache = None
             if self.loop_closer is not None:
                 from viorb_tpu.slam.loop_closing import LoopCloser
 
@@ -954,59 +1268,32 @@ class MonoSlam:
                 nb.level.copy(), nb.desc01.copy(),
             )
         (r1, t1, xy1, lv1, dsc1, r2, t2, xy2, lv2, dsc2) = snap
-        c1 = -r1.T @ t1
-        c2 = -r2.T @ t2
-        F12 = fundamental_from_poses(
-            jnp.asarray(r1), jnp.asarray(t1),
-            jnp.asarray(r2), jnp.asarray(t2), self.cam.K,
-        )
-        d1 = (jnp.asarray(dsc1, jnp.bfloat16) * 2 - 1)
-        d2 = (jnp.asarray(dsc2, jnp.bfloat16) * 2 - 1)
-        res = match_for_triangulation(
-            jnp.asarray(xy1), d1, jnp.asarray(free1),
-            jnp.asarray(xy2), d2, jnp.asarray(free2), F12,
-        )
-        idx = np.asarray(res.idx)
-        m1 = np.nonzero(idx >= 0)[0]
-        if len(m1) == 0:
-            return
-        m2 = idx[m1]
-        P1 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(r1), jnp.asarray(t1)))
-        P2 = np.asarray(projection_matrix(self.cam.K, jnp.asarray(r2), jnp.asarray(t2)))
-        X = np.asarray(
-            triangulate_two_view(
-                jnp.broadcast_to(jnp.asarray(P1), (len(m1), 3, 4)),
-                jnp.broadcast_to(jnp.asarray(P2), (len(m1), 3, 4)),
-                jnp.asarray(xy1[m1]),
-                jnp.asarray(xy2[m2]),
+        from viorb_tpu.slam.kernels import triangulate_between
+
+        # one static-shape dispatch + one batched pull (the old host-stepped
+        # version recompiled per match count and made 4 round trips)
+        idx, X, good = jax.device_get(
+            triangulate_between(
+                jnp.asarray(r1), jnp.asarray(t1), jnp.asarray(xy1),
+                jnp.asarray(lv1), jnp.asarray(dsc1), jnp.asarray(free1),
+                jnp.asarray(r2), jnp.asarray(t2), jnp.asarray(xy2),
+                jnp.asarray(lv2), jnp.asarray(dsc2), jnp.asarray(free2),
+                self.cam, jnp.asarray(self.sigma2),
             )
         )
-        # checks: depth, reprojection, parallax
-        pc1 = X @ r1.T + t1
-        pc2 = X @ r2.T + t2
-        z1, z2 = pc1[:, 2], pc2[:, 2]
-        uv1 = self._project_np(pc1)
-        uv2 = self._project_np(pc2)
-        e1 = ((uv1 - xy1[m1]) ** 2).sum(1)
-        e2 = ((uv2 - xy2[m2]) ** 2).sum(1)
-        th1 = 5.991 * self.sigma2[lv1[m1]]
-        th2 = 5.991 * self.sigma2[lv2[m2]]
-        ray1 = X - c1
-        ray2 = X - c2
-        cosp = (ray1 * ray2).sum(1) / np.maximum(
-            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1), 1e-12
-        )
-        good = (z1 > 0.05) & (z2 > 0.05) & (e1 < th1) & (e2 < th2) & (cosp < 0.9998)
+        if not good.any():
+            return
         with self.map_lock:
             kf = self.map.keyframes.get(kf_id)
             nb = self.map.keyframes.get(nb_id)
             if kf is None or nb is None:
                 return
-            for i, f1, f2 in zip(np.nonzero(good)[0], m1[good], m2[good]):
+            for f1 in np.nonzero(good)[0]:
+                f2 = idx[f1]
                 # features may have been bound meanwhile (fusion)
                 if kf.point_idx[f1] >= 0 or nb.point_idx[f2] >= 0:
                     continue
-                p = self.map.add_point(X[i], dsc1[f1], kf_id, int(f1))
+                p = self.map.add_point(X[f1], dsc1[f1], kf_id, int(f1))
                 self.map.add_observation(p, nb_id, int(f2))
 
     def _fuse_points_into_kf(
@@ -1022,7 +1309,10 @@ class MonoSlam:
         kf = self.map.keyframes.get(target_id)
         if kf is None or len(pt_ids) == 0:
             return 0
-        cap = min(self.max_local_points, max(256, len(pt_ids)))
+        # power-of-two capacity buckets: a fresh XLA compile per distinct
+        # point count costs seconds on a remote-attached chip, so the
+        # launch shape must not track the map size
+        cap = min(self.max_local_points, max(256, 1 << int(np.ceil(np.log2(len(pt_ids))))))
         pt_ids = pt_ids[:cap]
         xyz = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 256), np.uint8)
@@ -1097,7 +1387,11 @@ class MonoSlam:
         )
 
     def _local_ba(
-        self, window: List[int], fixed: List[int], max_landmarks: int = 0
+        self,
+        window: List[int],
+        fixed: List[int],
+        max_landmarks: int = 0,
+        abort_check=None,
     ):
         max_landmarks = max_landmarks or self.max_ba_landmarks
         with self.map_lock:
@@ -1110,12 +1404,21 @@ class MonoSlam:
             )
             if len(pt_ids) == 0:
                 return
-            k = len(kf_list)
-            r_cw = np.stack([self.map.keyframes[i].r_cw for i in kf_list])
-            t_cw = np.stack([self.map.keyframes[i].t_cw for i in kf_list])
+            # pad the pose block to a bucketed count: the BA program
+            # compiles per (K, M, R) shape, and K tracking the window +
+            # anchor count would recompile nearly every call (padded slots
+            # are fixed identity poses with no observations)
+            k = _pose_bucket(len(kf_list))
+            r_cw = np.broadcast_to(np.eye(3, dtype=np.float32), (k, 3, 3)).copy()
+            t_cw = np.zeros((k, 3), np.float32)
+            for s, i in enumerate(kf_list):
+                r_cw[s] = self.map.keyframes[i].r_cw
+                t_cw[s] = self.map.keyframes[i].t_cw
             points = np.zeros((max_landmarks, 3), np.float32)
             points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
-            fixed_mask = np.array([i in fixed for i in kf_list])
+            fixed_mask = np.ones(k, bool)
+            for s, i in enumerate(kf_list):
+                fixed_mask[s] = i in fixed
         state = VisionBAState(
             jnp.asarray(r_cw), jnp.asarray(t_cw), jnp.asarray(points)
         )
@@ -1140,6 +1443,11 @@ class MonoSlam:
         t_new = np.asarray(out.t_cw)
         p_new = np.asarray(out.points)
         with self.map_lock:
+            if abort_check is not None and abort_check():
+                # a newer loop correction superseded this solve while it
+                # was in flight (reference kills the GBA thread,
+                # src/LoopClosing.cc:432-460) — discard it
+                return
             for s, i in enumerate(kf_list):
                 if not fixed_mask[s] and i in self.map.keyframes:
                     self.map.keyframes[i].r_cw = r_new[s]
@@ -1162,19 +1470,97 @@ class MonoSlam:
         (old-side) keyframe (reference RunGlobalBundleAdjustment,
         src/LoopClosing.cc:674-819 — vision flavour). scale_by_kf maps
         kf_id -> local world-scale factor of the correction (used by the
-        VI override to rescale velocities; unused for vision)."""
-        ids = sorted(self.map.keyframes.keys())
-        if len(ids) < 3:
-            return
-        # the GLOBAL solve must cover every active landmark: refining the
-        # poses against a truncated point subset leaves the rest of the
-        # map inconsistent with the new poses, and subsequent local BAs
-        # drag the trajectory back toward the stale points (measured:
-        # post-loop KF ATE 0.012 -> 0.045 over 15 frames with a 2048 cap
-        # on a 4110-point map)
-        n_pts = int(self.map.pt_active.sum())
+        VI override to rescale velocities; unused for vision).
+
+        In async mode the solve runs in its OWN thread (the reference
+        spawns a GBA thread per loop, src/LoopClosing.cc:606): mapping and
+        tracking continue; a newer loop correction arriving mid-solve
+        aborts the stale write-back (reference :432-460); keyframes and
+        points created while the GBA ran are corrected afterwards through
+        their parent/reference keyframe, like the reference's
+        spanning-tree pass (:700-819)."""
+        if not self.async_mapping:
+            return self._post_loop_gba_impl(anchor_kf, scale_by_kf, None)
+        with self.map_lock:
+            self._loop_epoch += 1
+            epoch = self._loop_epoch
+        t = threading.Thread(
+            target=self._gba_thread_main,
+            args=(anchor_kf, scale_by_kf, epoch),
+            daemon=True,
+        )
+        self._gba_thread = t
+        t.start()
+
+    def _gba_thread_main(self, anchor_kf, scale_by_kf, epoch):
+        try:
+            self._post_loop_gba_impl(anchor_kf, scale_by_kf, epoch)
+        except BaseException as e:
+            self._worker_error = e
+
+    def _post_loop_gba_impl(self, anchor_kf: int, scale_by_kf, epoch):
+        with self.map_lock:
+            ids = sorted(self.map.keyframes.keys())
+            if len(ids) < 3:
+                return
+            # pre-solve poses: needed to correct keyframes/points that
+            # appear while the solve is in flight
+            pre_pose = {
+                i: (kf.r_cw.copy(), kf.t_cw.copy())
+                for i, kf in self.map.keyframes.items()
+            }
+            # the GLOBAL solve must cover every active landmark: refining
+            # the poses against a truncated point subset leaves the rest
+            # of the map inconsistent with the new poses, and subsequent
+            # local BAs drag the trajectory back toward the stale points
+            # (measured: post-loop KF ATE 0.012 -> 0.045 over 15 frames
+            # with a 2048 cap on a 4110-point map)
+            n_pts = int(self.map.pt_active.sum())
+            pre_pts = set(np.nonzero(self.map.pt_active)[0].tolist())
         cap = max(self.max_ba_landmarks, 1 << int(np.ceil(np.log2(max(n_pts, 1)))))
-        self._local_ba(ids, fixed=[anchor_kf], max_landmarks=cap)
+        abort = (
+            None
+            if epoch is None
+            else (lambda: self._loop_epoch != epoch)
+        )
+        self._local_ba(ids, fixed=[anchor_kf], max_landmarks=cap, abort_check=abort)
+        if epoch is None:
+            return
+        # correct keyframes/points created during the solve via their
+        # spanning-tree parent's pose delta (reference :738-819)
+        with self.map_lock:
+            if self._loop_epoch != epoch:
+                return
+            for i in sorted(self.map.keyframes.keys()):
+                if i in pre_pose:
+                    continue
+                kf = self.map.keyframes[i]
+                p = kf.parent_kf
+                if p not in pre_pose or p not in self.map.keyframes:
+                    continue
+                r_old, t_old = pre_pose[p]
+                pk = self.map.keyframes[p]
+                # children of this KF (and its new points) reference ITS
+                # pre-correction pose
+                pre_pose[i] = (kf.r_cw.copy(), kf.t_cw.copy())
+                # T_rel = T_child * T_parent_old^{-1}; child_new = T_rel * T_parent_new
+                r_rel = kf.r_cw @ r_old.T
+                t_rel = kf.t_cw - r_rel @ t_old
+                kf.r_cw = normalize_np(r_rel @ pk.r_cw)
+                kf.t_cw = (r_rel @ pk.t_cw + t_rel).astype(np.float32)
+            new_pts = [
+                int(p_)
+                for p_ in np.nonzero(self.map.pt_active)[0]
+                if int(p_) not in pre_pts
+            ]
+            for p_ in new_pts:
+                ref = int(self.map.pt_first_kf[p_])
+                if ref not in pre_pose or ref not in self.map.keyframes:
+                    continue
+                r_old, t_old = pre_pose[ref]
+                kf = self.map.keyframes[ref]
+                x_cam = r_old @ self.map.pt_xyz[p_] + t_old
+                self.map.pt_xyz[p_] = kf.r_cw.T @ (x_cam - kf.t_cw)
 
     def _can_cull(self, k: int) -> bool:
         """Subclass veto hook (VI adds preintegration time-gap guards)."""
@@ -1273,6 +1659,7 @@ class MonoSlam:
         from viorb_tpu.geometry.so3 import matrix_to_quat
         import jax.numpy as jnp_
 
+        self.flush_stream()
         rows = []
         for ts, kf_id, r_rel, t_rel in self.traj_entries:
             kf = self.map.keyframes.get(kf_id)
@@ -1289,3 +1676,10 @@ class MonoSlam:
 
 def normalize_np(R: np.ndarray) -> np.ndarray:
     return np.asarray(normalize_rotation(jnp.asarray(R))).astype(np.float32)
+
+
+def _pose_bucket(n: int) -> int:
+    """Round a BA pose count up to the next multiple of 4 (min 4): static
+    launch shapes so XLA compiles a handful of programs, not one per
+    window+anchor combination."""
+    return max(4, (n + 3) & ~3)

@@ -405,11 +405,20 @@ class MonoViSlam(MonoSlam):
                 self._refine_vi_init()
                 self._last_refine_len = chain_len
         # BA abort: a newer keyframe is already queued — the next job
-        # optimizes a superset window (reference mbAbortBA)
-        if not ran_full_gba and not (
-            self.async_mapping and not self._mapping_queue.empty()
+        # optimizes a superset window (reference mbAbortBA); bounded to 2
+        # consecutive skips so sustained backlog cannot starve BA
+        if ran_full_gba:
+            self._ba_skips = 0
+            return
+        if (
+            self.async_mapping
+            and not self._mapping_queue.empty()
+            and self._ba_skips < 2
         ):
-            self._vi_local_ba(kf_id)
+            self._ba_skips += 1
+            return
+        self._ba_skips = 0
+        self._vi_local_ba(kf_id)
 
     def _kf_imu_batch(self, kf_id: int) -> ImuBatch:
         nav = self.map.keyframes[kf_id].nav
@@ -875,11 +884,12 @@ class MonoViSlam(MonoSlam):
         )
         (feats, xy_d, fdesc, pf_d, vis_d, _n, nav_pred_d, ns_j_d, inl_d,
          marg_d) = out
-        # the frame's single host pull
-        (xy, level, angle, desc01, fvalid, pf, visible, inl, nav_pred_np,
+        # the frame's single host pull (desc01 stays on device; see
+        # FrameRecord.host_desc01)
+        (xy, level, angle, fvalid, pf, visible, inl, nav_pred_np,
          ns_j_np, marg) = jax.device_get(
             (
-                xy_d, feats.level, feats.angle, feats.desc01, feats.valid,
+                xy_d, feats.level, feats.angle, feats.valid,
                 pf_d, vis_d, inl_d, nav_pred_d, ns_j_d, marg_d,
             )
         )
@@ -889,10 +899,11 @@ class MonoViSlam(MonoSlam):
             xy=xy,
             level=level,
             angle=angle,
-            desc01=desc01,
+            desc01=None,
             valid=fvalid,
             desc_pm1=fdesc,
             point_idx=np.full(nf, -1, np.int32),
+            desc01_dev=feats.desc01,
         )
         matched_feats = np.nonzero(pf >= 0)[0]
         n_inl = int(inl.sum())
@@ -1061,7 +1072,12 @@ class MonoViSlam(MonoSlam):
             )
             if len(pt_ids) == 0:
                 return
-            k = len(kf_list)
+            # bucketed pose count (see mono._pose_bucket): the VI BA
+            # program compiles per (K, E, M, R) shape — padded slots are
+            # fixed identity NavStates with no observations or edges
+            from viorb_tpu.slam.mono import _pose_bucket
+
+            k = _pose_bucket(len(kf_list))
             # NavStates: window KFs must all have them; fixed anchors might
             # be pre-VI keyframes — give them vision-derived states, fixed
             navs = []
@@ -1071,13 +1087,17 @@ class MonoViSlam(MonoSlam):
                     navs.append(jax.tree.map(jnp.asarray, kf.nav["state"]))
                 else:
                     navs.append(self._nav_from_tcw(kf.r_cw, kf.t_cw))
+            for _ in range(k - len(kf_list)):
+                navs.append(NavState.identity())
             nav_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *navs)
             points = np.zeros((self.max_ba_landmarks, 3), np.float32)
             points[: len(pt_ids)] = self.map.pt_xyz[pt_ids]
-            fixed_mask = np.array(
-                [i in fixed or i == min(window) for i in kf_list]
-            )
-            # IMU chain between consecutive WINDOW kfs (slots 0..n_win-1)
+            fixed_mask = np.ones(k, bool)
+            for s, i in enumerate(kf_list):
+                fixed_mask[s] = i in fixed or i == min(window)
+            # IMU chain between consecutive WINDOW kfs (slots 0..n_win-1),
+            # padded to k-1 segments so the preintegration launch shape is
+            # bucketed too (padded segments are invalid edges)
             n_win = len(window)
             batches = []
             valid_edges = []
@@ -1097,6 +1117,11 @@ class MonoViSlam(MonoSlam):
                 )
                 t0s.append(self.map.keyframes[a].timestamp)
                 t1s.append(kfb.timestamp)
+            while len(batches) < k - 1:
+                batches.append(ImuBatch.empty(self.imu_capacity))
+                valid_edges.append(False)
+                t0s.append(0.0)
+                t1s.append(0.01)
             bias_g = self._map_bias_g
             bias_a = self._map_bias_a
             gravity = self._map_gravity
@@ -1145,6 +1170,16 @@ class MonoViSlam(MonoSlam):
                     idx_j.append(i + s_)
                     pres.append(seg[s_][i])
                     oks.append(okd[s_][i])
+            # bucket the edge count (multiples of 16): the GBA fires at
+            # several chain lengths and each distinct E is a fresh compile
+            from viorb_tpu.imu.preintegration import PreintegratedImu
+
+            e_b = max(16, (len(idx_i) + 15) & ~15)
+            while len(idx_i) < e_b:
+                idx_i.append(0)
+                idx_j.append(1)
+                pres.append(PreintegratedImu.identity(()))
+                oks.append(False)
             chain_obj = ImuChain(
                 pre=jax.tree.map(lambda *xs: jnp.stack(xs), *pres),
                 valid=jnp.asarray(np.array(oks)),
@@ -1153,17 +1188,8 @@ class MonoViSlam(MonoSlam):
                 idx_j=jnp.asarray(np.array(idx_j, np.int32)),
             )
         else:
-            # windowed BA: consecutive chain only, padded to k-1 edges
-            # (edges among anchors invalid)
-            pad = (k - 1) - (n_win - 1)
-            if pad > 0:
-                from viorb_tpu.imu.preintegration import PreintegratedImu
-
-                pre_pad = PreintegratedImu.identity((pad,))
-                pre = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]), pre, pre_pad
-                )
-                valid_edges = valid_edges + [False] * pad
+            # windowed BA: consecutive chain edges (already padded to k-1
+            # invalid-marked segments at assembly)
             chain_obj = ImuChain(
                 pre=pre,
                 valid=jnp.asarray(np.array(valid_edges)),

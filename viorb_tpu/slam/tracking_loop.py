@@ -102,6 +102,19 @@ def make_tracking_scan(cam: PinholeCamera, extractor: OrbExtractor):
     return run
 
 
+# process-wide core cache: cores are pure functions of (camera, extractor
+# config[, extrinsics, noise]) — sharing them across SLAM instances means
+# XLA compiles each fused program once per process, not once per instance
+_CORE_CACHE: dict = {}
+
+
+def _cached(key, build):
+    core = _CORE_CACHE.get(key)
+    if core is None:
+        core = _CORE_CACHE[key] = build()
+    return core
+
+
 def make_pipeline_track_core(cam: PinholeCamera, extractor: OrbExtractor):
     """One-dispatch tracking core for the FULL SLAM pipeline (mutable
     map): extraction + undistortion + projection matching (with the
@@ -119,6 +132,13 @@ def make_pipeline_track_core(cam: PinholeCamera, extractor: OrbExtractor):
     _gather_local_points), so the program compiles once per
     (image, capacity) shape, not per map size.
     """
+    return _cached(
+        ("pipeline", cam, extractor.config_key()),
+        lambda: _build_pipeline_track_core(cam, extractor),
+    )
+
+
+def _build_pipeline_track_core(cam: PinholeCamera, extractor: OrbExtractor):
     sigma2 = jnp.asarray(extractor.level_sigma2())
 
     @jax.jit
@@ -146,6 +166,76 @@ def make_pipeline_track_core(cam: PinholeCamera, extractor: OrbExtractor):
         )
         r_new, t_new, inlier = pose_optimization_tcw(r_pred, t_pred, obs, cam)
         return feats, xy, fdesc, pf, r_new, t_new, inlier, visible, nmatch
+
+    return core
+
+
+def make_streaming_track_core(cam: PinholeCamera, extractor: OrbExtractor):
+    """Carry-based fused tracking core for STREAMING mode: like
+    make_pipeline_track_core, but the constant-velocity prediction is
+    computed ON DEVICE from a TrackCarry, and the updated carry is
+    returned as device arrays — so the host can dispatch frame after
+    frame without pulling anything. A collector thread pulls the
+    bookkeeping fields of many frames in one batched device_get (one
+    interconnect round trip amortized over the whole batch).
+
+    This is the TPU-native shape of the reference's free-running tracking
+    thread (src/Tracking.cc main loop): the accelerator streams at
+    dispatch rate; host bookkeeping (map stats, keyframe decision,
+    trajectory) runs behind it with bounded lag.
+
+    The carry freezes on failure frames (fewer than 10 matches or
+    inliers): the pose/velocity state keeps the last good estimate so one
+    blurry frame cannot poison the chain before the collector notices.
+    """
+    return _cached(
+        ("streaming", cam, extractor.config_key()),
+        lambda: _build_streaming_track_core(cam, extractor),
+    )
+
+
+def _build_streaming_track_core(cam: PinholeCamera, extractor: OrbExtractor):
+    sigma2 = jnp.asarray(extractor.level_sigma2())
+
+    @jax.jit
+    def core(carry: TrackCarry, image, xyz, desc_pm1, valid, normal, dmin, dmax):
+        r_pred = carry.vel_r @ carry.r_cw
+        t_pred = (carry.vel_r @ carry.t_cw) + carry.vel_t
+
+        feats = extractor._extract(image)
+        xy = undistort_points(cam, feats.xy)
+        fdesc = feats.descriptors_pm1()
+
+        def run_match(radius):
+            return match_by_projection(
+                xyz, desc_pm1, valid, normal, dmin, dmax,
+                r_pred, t_pred, xy, fdesc, feats.valid, cam,
+                jnp.float32(radius),
+            )
+
+        out15 = run_match(15.0)
+        pf, _res, nmatch, visible = jax.lax.cond(
+            out15[2] < 20, lambda: run_match(30.0), lambda: out15
+        )
+        obs = PoseObs(
+            points=xyz[jnp.clip(pf, 0)],
+            uv=xy,
+            inv_sigma2=1.0 / sigma2[feats.level],
+            valid=pf >= 0,
+        )
+        r_new, t_new, inlier = pose_optimization_tcw(r_pred, t_pred, obs, cam)
+        n_inl = jnp.sum(inlier)
+        ok = (nmatch >= 10) & (n_inl >= 10)
+        # velocity update T_new * T_old^{-1}; freeze the carry on failure
+        vel_r = r_new @ carry.r_cw.T
+        vel_t = t_new - (vel_r @ carry.t_cw)
+        new_carry = TrackCarry(
+            jnp.where(ok, r_new, carry.r_cw),
+            jnp.where(ok, t_new, carry.t_cw),
+            jnp.where(ok, vel_r, carry.vel_r),
+            jnp.where(ok, vel_t, carry.vel_t),
+        )
+        return new_carry, (feats, xy, fdesc, pf, r_new, t_new, inlier, visible, ok)
 
     return core
 

@@ -130,6 +130,81 @@ def _row_parts(tr: Triplet, p_c, r_wb, p_bc_w, ts):
     return lam, half, gamma0, dt12, dt23
 
 
+def _triplet_noise_rows(triplets: List[Triplet]) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-ROW (3 per triplet) noise accounting for the velocity-eliminated
+    equation  lam*s - half*g = gamma:
+
+      * sigma_b2: variance of the IMU-side rhs gamma from the composed
+        preintegration covariances (cov is 9x9 in P-V-phi order);
+      * c_rows: coefficient of the vision noise variance sigma_p^2 in the
+        lam regressor — lam = p_k*dt12 - p_j*(dt12+dt23) + p_i*dt23, so
+        Var(lam) = sigma_p^2 * (dt12^2 + (dt12+dt23)^2 + dt23^2).
+    """
+    sb, cr = [], []
+    for tr in triplets:
+        dt12 = float(np.asarray(tr.pre_ij.dt))
+        dt23 = float(np.asarray(tr.pre_jk.dt))
+        cov_ij = np.asarray(tr.pre_ij.cov)
+        cov_jk = np.asarray(tr.pre_jk.cov)
+        vp_ij = float(np.trace(cov_ij[:3, :3])) / 3.0
+        vv_ij = float(np.trace(cov_ij[3:6, 3:6])) / 3.0
+        vp_jk = float(np.trace(cov_jk[:3, :3])) / 3.0
+        var_b = (
+            (dt12 * dt23) ** 2 * vv_ij
+            + dt12**2 * vp_jk
+            + dt23**2 * vp_ij
+        )
+        c = dt12**2 + (dt12 + dt23) ** 2 + dt23**2
+        sb += [var_b] * 3
+        cr += [c] * 3
+    return np.array(sb), np.array(cr)
+
+
+def _eiv_scale_solve(
+    a: np.ndarray,  # (n,) noisy regressor column (multiplies s)
+    B: np.ndarray,  # (n,d) exact columns
+    b: np.ndarray,  # (n,) rhs
+    sigma_b2: np.ndarray,  # (n,) per-row rhs noise variance (IMU)
+    c_rows: np.ndarray,  # (n,) Var(a_i) = sigma_p^2 * c_rows[i]
+) -> Tuple[float, np.ndarray]:
+    """Mixed LS-TLS scale solve: ONLY the `a` column carries vision noise
+    (the camera centers), the other columns are exact, and the rhs noise
+    (IMU preintegration) is known. Ordinary least squares is then an
+    errors-in-variables regression whose scale estimate is attenuated by
+    the noise-to-signal ratio of `a` — re-solving on a refined map
+    COMPOUNDS the shrinkage (the round-2/3 ±12% scale gate). The fix is
+    Fuller's method-of-moments correction: estimate sigma_p^2 from the
+    residual power left after subtracting the known IMU noise, then
+    subtract the noise-induced inflation from the Gram entry of `a`.
+
+    No reference counterpart (the reference accepts the OLS estimate
+    after 15 s of data, src/LocalMapping.cc:554-563)."""
+    Q, _ = np.linalg.qr(B)
+    at = a - Q @ (Q.T @ a)
+    bt = b - Q @ (Q.T @ b)
+    gram = float(at @ at)
+    cross = float(at @ bt)
+    if gram <= 1e-12:
+        return 0.0, np.zeros(B.shape[1])
+    s_ols = cross / gram
+    # vision noise sigma_p^2 by residual moment matching, iterated to its
+    # fixed point: at the true s, E[RSS] = sum(sigma_b^2) + s^2 sigma_p^2
+    # sum(c) and E[gram] = gram_true + sigma_p^2 sum(c) — evaluating the
+    # moments at the attenuated OLS s instead overcorrects by
+    # (s-s_ols)^2/s_ols^2, so a few substitutions are needed
+    lev = (Q**2).sum(axis=1)
+    c_eff = float(((1.0 - lev) * c_rows).sum())
+    sb_eff = float(((1.0 - lev) * sigma_b2).sum())
+    s_hat = s_ols
+    for _ in range(6):
+        rss = float(((bt - at * s_hat) ** 2).sum())
+        sp2 = max(0.0, (rss - sb_eff) / max(s_hat**2 * c_eff, 1e-12))
+        gram_corr = max(gram - c_eff * sp2, 0.25 * gram)  # safeguard
+        s_hat = cross / gram_corr
+    theta = np.linalg.lstsq(B, b - a * s_hat, rcond=None)[0]
+    return float(s_hat), theta
+
+
 def estimate_scale_gravity(
     triplets: List[Triplet],
     p_c: np.ndarray,
@@ -137,8 +212,9 @@ def estimate_scale_gravity(
     p_bc_w: np.ndarray,
     ts: np.ndarray,
 ) -> Tuple[float, np.ndarray, float]:
-    """Step 2: unconstrained linear solve for (s, gw). Returns
-    (scale, gravity, condition number) (reference src/LocalMapping.cc:356-390)."""
+    """Step 2: linear solve for (s, gw) with the EIV-corrected scale.
+    Returns (scale, gravity, condition number)
+    (reference src/LocalMapping.cc:356-390)."""
     m = len(triplets)
     A = np.zeros((3 * m, 4))
     b = np.zeros(3 * m)
@@ -148,9 +224,10 @@ def estimate_scale_gravity(
         A[3 * r : 3 * r + 3, 1:4] = -half * np.eye(3)
         b[3 * r : 3 * r + 3] = gamma0
     u, s, vt = np.linalg.svd(A, full_matrices=False)
-    x = vt.T @ ((u.T @ b) / s)
     cond = s[0] / max(s[-1], 1e-12)
-    return float(x[0]), x[1:4], float(cond)
+    sigma_b2, c_rows = _triplet_noise_rows(triplets)
+    s_hat, gw = _eiv_scale_solve(A[:, 0], A[:, 1:4], b, sigma_b2, c_rows)
+    return float(s_hat), gw, float(cond)
 
 
 def refine_scale_gravity_ba(
@@ -215,7 +292,15 @@ def _refine_once(triplets, p_c, r_wb, p_bc_w, ts, g_est, ba_prior_weight):
         P[:, 3:6] = np.eye(3) * ba_prior_weight
         A = np.vstack([A, P])
         b = np.concatenate([b, np.zeros(3)])
-    x = np.linalg.lstsq(A, b, rcond=None)[0]
+    # EIV-corrected scale (see _eiv_scale_solve): only the lam column
+    # carries vision noise; prior rows are noise-free
+    sigma_b2, c_rows = _triplet_noise_rows(triplets)
+    if A.shape[0] > 3 * len(triplets):
+        pad = A.shape[0] - 3 * len(triplets)
+        sigma_b2 = np.concatenate([sigma_b2, np.zeros(pad)])
+        c_rows = np.concatenate([c_rows, np.zeros(pad)])
+    s_hat, theta = _eiv_scale_solve(A[:, 0], A[:, 1:], b, sigma_b2, c_rows)
+    x = np.concatenate([[s_hat], theta])
     s = float(x[0])
     dtheta = np.array([x[1], x[2], 0.0])
     th = np.linalg.norm(dtheta)
@@ -278,19 +363,43 @@ def try_vi_init(
     p_bc_w = np.einsum("nij,j->ni", r_wc, p_cb)
 
     dts = np.diff(timestamps).astype(np.float64)
-    t0 = jnp.asarray(timestamps[:-1], jnp.float32)
-    t1 = jnp.asarray(timestamps[1:], jnp.float32)
+    n_seg = n - 1
+    # bucket the segment count (multiples of 8): the chain grows by one
+    # keyframe per refine call and the batched preintegration would
+    # otherwise compile a fresh program per length
+    seg_b = max(8, (n_seg + 7) & ~7)
+    if seg_b > n_seg:
+        from viorb_tpu.imu.types import ImuBatch
+
+        cap = int(imu_batches.gyro.shape[-2])
+        pad = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                x[None], (seg_b - n_seg,) + x.shape
+            ),
+            ImuBatch.empty(cap),
+        )
+        imu_batches = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b]), imu_batches, pad
+        )
+    t0 = jnp.zeros(seg_b, jnp.float32).at[:n_seg].set(
+        jnp.asarray(timestamps[:-1], jnp.float32)
+    )
+    t1 = jnp.full(seg_b, 0.01, jnp.float32).at[:n_seg].set(
+        jnp.asarray(timestamps[1:], jnp.float32)
+    )
 
     # step 1: gyro bias (preintegrate at zero bias first)
     pre0 = preintegrate_batch(
         imu_batches, jnp.zeros(3), jnp.zeros(3), t0, t1, noise
     )
+    pre0 = jax.tree.map(lambda x: x[:n_seg], pre0)
     bg = estimate_gyro_bias(r_wb, pre0)
 
     # re-preintegrate with bg (one batched launch)
     pre = preintegrate_batch(
         imu_batches, jnp.asarray(bg), jnp.zeros(3), t0, t1, noise
     )
+    pre = jax.tree.map(lambda x: x[:n_seg], pre)
 
     triplets = build_triplets(pre, strides=strides)
     if len(triplets) < 4:
