@@ -345,23 +345,39 @@ def main():
 
     # ---- full-pipeline fps: the real MonoSlam.process_frame loop
     # (fused tracking + host map bookkeeping + mapping jobs on keyframe
-    # insertion) over the rendered clip. NOTE: each frame makes ONE
-    # device->host pull, which over this environment's remote-TPU tunnel
-    # costs ~0.1-1 s — on a host-attached TPU this number approaches the
-    # device fps; here it mostly measures the tunnel. ----
+    # insertion) over the rendered clip, in three flavours:
+    #   pipeline_fps         lock-step, uint8 frames over the wire (one
+    #                        pull/frame; mapping inline)
+    #   pipeline_stream_fps  streaming mode — device-resident carry,
+    #                        collector thread with batched pulls, async
+    #                        mapping worker; uint8 frames over the wire
+    #   pipeline_staged_fps  streaming with pre-staged device frames: the
+    #                        host-attached-deployment proxy (PCIe upload
+    #                        ~0.04 ms vs this tunnel's ~28 ms/frame u8)
+    # ----
     from viorb_tpu.slam.mono import MonoSlam
 
-    def run_pipeline():
-        slam = MonoSlam(cam, n_features=1000, kf_max_interval=5)
-        t0 = time.perf_counter()
-        n = 0
-        for img_i, ts_i in zip(seq.images[:30], np.arange(30) * 0.1):
-            slam.process_frame(np.asarray(img_i), float(ts_i))
-            n += 1
-        return n / (time.perf_counter() - t0)
+    imgs_u8 = [np.asarray(im).astype(np.uint8) for im in seq.images[:30]]
+    imgs_dev = [jnp.asarray(im) for im in imgs_u8]
 
-    run_pipeline()  # warm: compile every pipeline program once
-    extra["pipeline_fps"] = round(run_pipeline(), 2)
+    def run_pipeline(streaming, frames):
+        slam = MonoSlam(
+            cam, n_features=1000, kf_max_interval=5, streaming=streaming,
+            streaming_depth=8,
+        )
+        t0 = time.perf_counter()
+        for i, img_i in enumerate(frames):
+            slam.process_frame(img_i, i * 0.1)
+        slam.wait_mapping_idle()
+        dt = time.perf_counter() - t0
+        slam.shutdown()
+        return len(frames) / dt
+
+    run_pipeline(False, imgs_u8)  # warm: compile every pipeline program
+    extra["pipeline_fps"] = round(run_pipeline(False, imgs_u8), 2)
+    run_pipeline(True, imgs_u8)  # warm streaming core
+    extra["pipeline_stream_fps"] = round(run_pipeline(True, imgs_u8), 2)
+    extra["pipeline_staged_fps"] = round(run_pipeline(True, imgs_dev), 2)
 
     # local BA throughput: a K=10, M=2048 window solve (LM iterations/s)
     from viorb_tpu.optim import BAObservations, VisionBAState, vision_ba

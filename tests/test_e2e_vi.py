@@ -54,7 +54,7 @@ def test_mono_vi_slam(vi_sequence):
     rmse = ate_rmse(
         traj[:, 0], traj[:, 1:4], seq.timestamps, seq.c_w, with_scale=False
     )
-    assert rmse < 0.08, f"metric ATE RMSE {rmse:.3f} m"
+    assert rmse < 0.05, f"metric ATE RMSE {rmse:.3f} m"
 
     # post-init steady-state tracking must be tight both metrically and
     # in shape
@@ -62,17 +62,17 @@ def test_mono_vi_slam(vi_sequence):
     rmse_post = ate_rmse(
         traj[m, 0], traj[m, 1:4], seq.timestamps, seq.c_w, with_scale=False
     )
-    assert rmse_post < 0.06, f"post-init metric ATE {rmse_post:.3f} m"
+    assert rmse_post < 0.02, f"post-init metric ATE {rmse_post:.3f} m"
     rmse_shape = ate_rmse(
         traj[m, 0], traj[m, 1:4], seq.timestamps, seq.c_w, with_scale=True
     )
     assert rmse_shape < 0.02, f"post-init sim3 ATE {rmse_shape:.3f} m"
 
-    # scale sanity: compare trajectory spans
+    # scale: +-5% class (the round-2/3 +-12% gate was rooted in two since
+    # fixed defects: gauge-free pre-init window BAs rotating the world
+    # every job, and errors-in-variables attenuation in the closed-form
+    # triplet solve — see vi_init._eiv_scale_solve; measured 0.96)
     est_span = np.ptp(traj[:, 1:4], axis=0)
     gt_span = np.ptp(seq.c_w, axis=0)
     ratio = np.linalg.norm(est_span) / np.linalg.norm(gt_span)
-    # interim gate: the continuous init refinement compounds a small
-    # attenuation bias in the closed-form scale estimate (being fixed
-    # this round; target +-5%)
-    assert 0.88 < ratio < 1.12, f"scale ratio {ratio}"
+    assert 0.94 < ratio < 1.06, f"scale ratio {ratio}"

@@ -102,7 +102,7 @@ class MonoSlam:
         enable_loop_closing: bool = False,
         async_mapping: bool = False,
         streaming: bool = False,
-        streaming_depth: int = 8,
+        streaming_depth: int = 2,
     ):
         self.cam = cam
         self.extractor = OrbExtractor(n_features=n_features)
@@ -168,17 +168,30 @@ class MonoSlam:
                 target=self._mapping_worker, daemon=True
             )
             self._worker.start()
-        # streaming mode: the tracker thread only DISPATCHES the fused
-        # core (device-resident pose/velocity carry, zero per-frame
-        # pulls); a collector thread drains the in-flight results with
-        # batched device_gets and runs the host bookkeeping (map stats,
-        # trajectory, keyframe decision) with bounded lag. This hides the
-        # host<->device round trip entirely — the TPU-native shape of the
-        # reference's free-running tracking thread + realtime mode.
+        # streaming mode (EXPERIMENTAL realtime mode): the tracker thread
+        # only DISPATCHES the fused core (device-resident pose/velocity
+        # carry, zero per-frame pulls); a collector thread drains the
+        # in-flight results with batched device_gets and runs the host
+        # bookkeeping (map stats, trajectory, keyframe decision) with
+        # bounded lag. This hides the host<->device round trip entirely —
+        # the TPU-native shape of the reference's free-running tracking
+        # thread + realtime mode, with the same trade the reference's
+        # realtime node makes: under fast motion with mapping behind,
+        # frames are sacrificed (fallback -> relocalization) rather than
+        # corrupted. Zero-lag behavior is exactly the lock-step pipeline
+        # (tests/test_streaming.py proves per-frame equality on the clip
+        # prefix); accuracy-critical offline runs should use lock-step or
+        # plain async mapping.
         self.streaming = streaming
-        self.mapping_backlog_limit = 2
+        # streaming dispatch blocks while this many mapping jobs are
+        # unfinished. 1 = the map is never more than the in-flight window
+        # stale (tracking quality ~ lock-step; the streaming win is
+        # overlapping the device round trips, not the mapping); raising it
+        # overlaps mapping too but lets the map lag behind fast motion
+        self.mapping_backlog_limit = 1
         # (anchor_kf_id, r_cw, t_cw, map_version) the carry is aligned to
         self._carry_anchor = None
+        self._carry_delta_log: list = []  # applied re-anchor magnitudes
         # max in-flight frames: bounds both device memory and the
         # bookkeeping lag (keyframe decisions arrive at most this many
         # frames late). Collector speed, not queue growth, then governs
@@ -190,6 +203,7 @@ class MonoSlam:
         self._stream_cv = threading.Condition()
         self._stream_stop = False
         self._stream_fail_count = 0
+        self._stream_weak_count = 0
         self._stream_failed = False
         self._collector: Optional[threading.Thread] = None
         self._collector_error: Optional[BaseException] = None
@@ -279,6 +293,7 @@ class MonoSlam:
                 self.velocity = None
             self._stream_failed = False
             self._stream_fail_count = 0
+            self._stream_weak_count = 0
             info = self._process_frame_once(image, ts)
             if (
                 self.state == "OK"
@@ -333,6 +348,10 @@ class MonoSlam:
                         np.abs(d_t).max() > 1e-7
                         or np.abs(d_r - np.eye(3)).max() > 1e-7
                     ):
+                        self._carry_delta_log.append(
+                            (float(np.linalg.norm(d_t)),
+                             float(np.abs(d_r - np.eye(3)).max()))
+                        )
                         c = self._dev_carry
                         r_f = c.r_cw @ jnp.asarray(d_r.astype(np.float32))
                         t_f = c.r_cw @ jnp.asarray(
@@ -462,6 +481,17 @@ class MonoSlam:
             fr.r_cw = np.asarray(r_new)
             fr.t_cw = np.asarray(t_new)
             self.n_tracked = int(inl.sum())
+            # weak streak: a run of low-inlier (but accepted) solutions
+            # means the carry is sliding off the map — trigger the
+            # synchronous fallback before it fully derails. An isolated
+            # weak frame (blur) is accepted exactly like the lock-step
+            # path accepts it.
+            if self.n_tracked < 20:
+                self._stream_weak_count += 1
+                if self._stream_weak_count >= 3:
+                    self._stream_failed = True
+            else:
+                self._stream_weak_count = 0
             self.state = "OK"
             ok_feats = np.nonzero((pf >= 0) & inl)[0]
             fr.point_idx[ok_feats] = pts[pf[ok_feats]]
@@ -478,6 +508,17 @@ class MonoSlam:
             if self._need_new_keyframe(ts):
                 self._insert_keyframe(fr)
                 self.frames_since_kf = 0
+                # anchor the carry to the NEW keyframe at its insertion
+                # pose: when its mapping job publishes (BA moves the KF),
+                # the tracker's next dispatch re-anchors the carry by
+                # exactly the insertion->BA delta — the streaming
+                # counterpart of the lock-step post-BA frame resync
+                # (_insert_keyframe's lock-step branch)
+                with self.map_lock:
+                    self._carry_anchor = (
+                        self.last_kf_id, fr.r_cw.copy(), fr.t_cw.copy(),
+                        self.map.version,
+                    )
             self._record_trajectory(fr, ts)
             self.last_frame = fr
             self._last_info = {
@@ -1101,8 +1142,13 @@ class MonoSlam:
                     if k >= 0 and int(k) not in window:
                         anchor.add(int(k))
             fixed = sorted(anchor)[:8]
-            if len(self.map.kf_ids()) <= 2:
-                fixed = [min(self.map.kf_ids())]
+            if not fixed:
+                # no outside-window anchors (early map): pin the oldest
+                # window keyframe or the solve is GAUGE-FREE — each run
+                # then rotates/translates the whole world a little
+                # (measured up to 0.08 rad per job) and every consumer of
+                # map coordinates has to chase it
+                fixed = [min(window)]
         # BA abort on a pending newer keyframe (reference mbAbortBA) — but
         # bounded: under sustained backlog a naive skip starves BA
         # entirely, so at most 2 consecutive jobs may skip it

@@ -353,8 +353,9 @@ class MonoViSlam(MonoSlam):
                         if k >= 0 and int(k) not in window:
                             anchor.add(int(k))
                 fixed = sorted(anchor)[:8]
-                if len(self.map.kf_ids()) <= 2:
-                    fixed = [min(self.map.kf_ids())]
+                if not fixed:
+                    # pin the gauge (see mono._mapping_ba)
+                    fixed = [min(window)]
             self._local_ba(window, fixed)
             self._maybe_vi_init()
             return

@@ -225,6 +225,9 @@ def _build_streaming_track_core(cam: PinholeCamera, extractor: OrbExtractor):
         )
         r_new, t_new, inlier = pose_optimization_tcw(r_pred, t_pred, obs, cam)
         n_inl = jnp.sum(inlier)
+        # same acceptance gate as the synchronous path (equivalence at
+        # zero lag); the collector additionally watches for WEAK streaks
+        # (low-inlier solutions that pass this gate but poison the carry)
         ok = (nmatch >= 10) & (n_inl >= 10)
         # velocity update T_new * T_old^{-1}; freeze the carry on failure
         vel_r = r_new @ carry.r_cw.T
