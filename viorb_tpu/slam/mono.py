@@ -1107,8 +1107,7 @@ class MonoSlam:
                 prior = [k for k in self.map.keyframes if k < kf_id]
                 self.map.keyframes[kf_id].parent_kf = max(prior, default=-1)
         neighbors = sorted(cov, key=cov.get, reverse=True)[:3]
-        for nb in neighbors:
-            self._triangulate_with(kf_id, nb)
+        self._triangulate_batch(kf_id, neighbors)
         # map-point fusion across the neighborhood (SearchInNeighbors)
         with self.map_lock:
             self._search_in_neighbors(kf_id, neighbors)
@@ -1282,79 +1281,82 @@ class MonoSlam:
                 for k in active:
                     self.loop_closer.add_keyframe(k)
 
-    def _triangulate_with(self, kf_id: int, nb_id: int):
-        """Epipolar matching + two-view triangulation between a new KF and
-        one covisible neighbour (reference CreateNewMapPoints,
-        src/LocalMapping.cc:1235). The lock is held only to SNAPSHOT the
-        two keyframes' arrays and to INSERT the accepted points; the
-        matching/triangulation compute runs on immutable copies so async
-        tracking never blocks on it (the reference likewise holds no map
-        lock during triangulation)."""
-        with self.map_lock:
-            kf = self.map.keyframes.get(kf_id)
-            nb = self.map.keyframes.get(nb_id)
-            if kf is None or nb is None:
-                return
-            # baseline check vs median scene depth (CreateNewMapPoints)
-            baseline = np.linalg.norm(kf.center() - nb.center())
-            pts_nb = nb.point_idx[nb.point_idx >= 0]
-            if len(pts_nb) > 0:
-                depths = (self.map.pt_xyz[pts_nb] @ nb.r_cw.T + nb.t_cw)[:, 2]
-                med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
-                if baseline / max(med, 1e-6) < 0.01:
-                    return
-            free1 = kf.valid & (kf.point_idx < 0)
-            free2 = nb.valid & (nb.point_idx < 0)
-            if free1.sum() == 0 or free2.sum() == 0:
-                return
-            snap = (
-                kf.r_cw.copy(), kf.t_cw.copy(), kf.xy.copy(),
-                kf.level.copy(), kf.desc01.copy(),
-                nb.r_cw.copy(), nb.t_cw.copy(), nb.xy.copy(),
-                nb.level.copy(), nb.desc01.copy(),
-            )
-        (r1, t1, xy1, lv1, dsc1, r2, t2, xy2, lv2, dsc2) = snap
+    def _triangulate_batch(self, kf_id: int, nb_ids: List[int]):
+        """Triangulate the new keyframe against all its neighbours with
+        ONE batched device pull: each pair's static-shape kernel is
+        dispatched first, then a single device_get drains every result
+        (one interconnect round trip instead of one per neighbour —
+        ~30 ms each on a remote-attached chip)."""
         from viorb_tpu.slam.kernels import triangulate_between
 
-        # one static-shape dispatch + one batched pull (the old host-stepped
-        # version recompiled per match count and made 4 round trips)
-        idx, X, good = jax.device_get(
-            triangulate_between(
+        launches = []
+        for nb_id in nb_ids:
+            snap = self._triangulation_snapshot(kf_id, nb_id)
+            if snap is None:
+                continue
+            (r1, t1, xy1, lv1, dsc1, free1,
+             r2, t2, xy2, lv2, dsc2, free2) = snap
+            out = triangulate_between(
                 jnp.asarray(r1), jnp.asarray(t1), jnp.asarray(xy1),
                 jnp.asarray(lv1), jnp.asarray(dsc1), jnp.asarray(free1),
                 jnp.asarray(r2), jnp.asarray(t2), jnp.asarray(xy2),
                 jnp.asarray(lv2), jnp.asarray(dsc2), jnp.asarray(free2),
                 self.cam, jnp.asarray(self.sigma2),
             )
-        )
-        if not good.any():
+            launches.append((nb_id, dsc1, out))
+        if not launches:
             return
+        pulled = jax.device_get([o for _, _, o in launches])
+        for (nb_id, dsc1, _), (idx, X, good) in zip(launches, pulled):
+            if not good.any():
+                continue
+            with self.map_lock:
+                kf = self.map.keyframes.get(kf_id)
+                nb = self.map.keyframes.get(nb_id)
+                if kf is None or nb is None:
+                    continue
+                for f1 in np.nonzero(good)[0]:
+                    f2 = idx[f1]
+                    # features may have been bound meanwhile (fusion or an
+                    # earlier neighbour's triangulation)
+                    if kf.point_idx[f1] >= 0 or nb.point_idx[f2] >= 0:
+                        continue
+                    p = self.map.add_point(X[f1], dsc1[f1], kf_id, int(f1))
+                    self.map.add_observation(p, nb_id, int(f2))
+
+    def _triangulation_snapshot(self, kf_id: int, nb_id: int):
+        """Lock-held snapshot of one keyframe pair's triangulation inputs
+        (baseline gate included); None when the pair is not worth
+        triangulating."""
         with self.map_lock:
             kf = self.map.keyframes.get(kf_id)
             nb = self.map.keyframes.get(nb_id)
             if kf is None or nb is None:
-                return
-            for f1 in np.nonzero(good)[0]:
-                f2 = idx[f1]
-                # features may have been bound meanwhile (fusion)
-                if kf.point_idx[f1] >= 0 or nb.point_idx[f2] >= 0:
-                    continue
-                p = self.map.add_point(X[f1], dsc1[f1], kf_id, int(f1))
-                self.map.add_observation(p, nb_id, int(f2))
+                return None
+            baseline = np.linalg.norm(kf.center() - nb.center())
+            pts_nb = nb.point_idx[nb.point_idx >= 0]
+            if len(pts_nb) > 0:
+                depths = (self.map.pt_xyz[pts_nb] @ nb.r_cw.T + nb.t_cw)[:, 2]
+                med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
+                if baseline / max(med, 1e-6) < 0.01:
+                    return None
+            free1 = kf.valid & (kf.point_idx < 0)
+            free2 = nb.valid & (nb.point_idx < 0)
+            if free1.sum() == 0 or free2.sum() == 0:
+                return None
+            return (
+                kf.r_cw.copy(), kf.t_cw.copy(), kf.xy.copy(),
+                kf.level.copy(), kf.desc01.copy(), free1,
+                nb.r_cw.copy(), nb.t_cw.copy(), nb.xy.copy(),
+                nb.level.copy(), nb.desc01.copy(), free2,
+            )
 
-    def _fuse_points_into_kf(
-        self, pt_ids: np.ndarray, target_id: int, radius: float = 3.0
-    ) -> int:
-        """Project the given map points into a keyframe and fuse: a match
-        on a free feature becomes an observation; a match on a feature
-        bound to a DIFFERENT point merges the two (fewer-observations one
-        dies). One batched projection-match launch per keyframe pair — the
-        TPU reshape of ORBmatcher::Fuse (reference src/ORBmatcher.cc Fuse,
-        driven by LocalMapping::SearchInNeighbors src/LocalMapping.cc:1487).
-        Returns number of fused/added observations."""
+    def _fuse_dispatch(self, pt_ids: np.ndarray, target_id: int, radius: float):
+        """Dispatch phase of Fuse: launch the projection-match kernel for
+        one (points, keyframe) pair; returns (pt_ids, device handle)."""
         kf = self.map.keyframes.get(target_id)
         if kf is None or len(pt_ids) == 0:
-            return 0
+            return None
         # power-of-two capacity buckets: a fresh XLA compile per distinct
         # point count costs seconds on a remote-attached chip, so the
         # launch shape must not track the map size
@@ -1377,14 +1379,24 @@ class MonoSlam:
             valid, jnp.bfloat16
         )[:, None]
         d_kf = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
-        point_for_feat, _, n, _ = match_by_projection(
+        point_for_feat, _, _n, _ = match_by_projection(
             jnp.asarray(xyz), desc_pm1, jnp.asarray(valid),
             jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
             jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw),
             jnp.asarray(kf.xy), d_kf, jnp.asarray(kf.valid),
             self.cam, jnp.float32(radius),
         )
-        pf = np.asarray(point_for_feat)
+        return pt_ids, point_for_feat
+
+    def _fuse_apply(self, pt_ids: np.ndarray, pf: np.ndarray, target_id: int) -> int:
+        """Merge phase of Fuse (host, under the caller's lock): a match on
+        a free feature becomes an observation; a match on a feature bound
+        to a DIFFERENT point merges the two (fewer-observations one dies).
+        Alive-gated: points may have died in an earlier apply of the same
+        batch."""
+        kf = self.map.keyframes.get(target_id)
+        if kf is None:
+            return 0
         fused = 0
         for f in np.nonzero(pf >= 0)[0]:
             p = int(pt_ids[pf[f]])
@@ -1403,18 +1415,44 @@ class MonoSlam:
                 fused += 1
         return fused
 
+    def _fuse_points_into_kf(
+        self, pt_ids: np.ndarray, target_id: int, radius: float = 3.0
+    ) -> int:
+        """One-pair Fuse: dispatch + pull + merge (the TPU reshape of
+        ORBmatcher::Fuse, reference src/ORBmatcher.cc; batch callers use
+        _fuse_dispatch/_fuse_apply to share one device pull across
+        pairs)."""
+        out = self._fuse_dispatch(pt_ids, target_id, radius)
+        if out is None:
+            return 0
+        ids, pf_dev = out
+        return self._fuse_apply(ids, np.asarray(pf_dev), target_id)
+
     def _search_in_neighbors(self, kf_id: int, neighbors: List[int]):
         """Two-pass fusion (reference LocalMapping::SearchInNeighbors,
         src/LocalMapping.cc:1487): new KF's points into each neighbor,
-        then all neighbor points into the new KF."""
+        then all neighbor points into the new KF. All pairs are dispatched
+        first and drained with ONE device pull (each pull is an
+        interconnect round trip); merges then apply sequentially with
+        alive-gating, so a point merged by an earlier pair simply drops
+        out of later ones."""
         kf = self.map.keyframes.get(kf_id)
         if kf is None:
             return
         own = kf.point_idx[kf.point_idx >= 0]
-        for nb in neighbors:
-            self._fuse_points_into_kf(own, nb)
         nb_pts = self.map.local_map_points(neighbors)
-        self._fuse_points_into_kf(nb_pts, kf_id)
+        launches = []
+        for nb in neighbors:
+            out = self._fuse_dispatch(own, nb, 3.0)
+            if out is not None:
+                launches.append((out[0], out[1], nb))
+        out = self._fuse_dispatch(nb_pts, kf_id, 3.0)
+        if out is not None:
+            launches.append((out[0], out[1], kf_id))
+        if launches:
+            pulled = jax.device_get([h for _, h, _ in launches])
+            for (ids, _, target), pf in zip(launches, pulled):
+                self._fuse_apply(ids, pf, target)
         touched = np.unique(
             np.concatenate([own, nb_pts]) if len(nb_pts) else own
         )
@@ -1484,10 +1522,12 @@ class MonoSlam:
             state, obs, self.cam, jnp.asarray(fixed_mask),
             bf=None if bf is None else jnp.float32(bf),
         )
-        # write back (under the lock; the solve above ran on snapshots)
-        r_new = np.asarray(out.r_cw)
-        t_new = np.asarray(out.t_cw)
-        p_new = np.asarray(out.points)
+        # write back (under the lock; the solve above ran on snapshots);
+        # one batched pull for the whole result set
+        r_new, t_new, p_new, valid_new = jax.device_get(
+            (out.r_cw, out.t_cw, out.points, obs2.valid)
+        )
+        obs2 = obs2._replace(valid=valid_new)
         with self.map_lock:
             if abort_check is not None and abort_check():
                 # a newer loop correction superseded this solve while it

@@ -1217,9 +1217,12 @@ class MonoViSlam(MonoSlam):
                 jnp.asarray(gravity), jnp.asarray(fixed_mask),
                 iters1=iters[0], iters2=iters[1],
             )
-        # --- write back (under the lock; culls may have intervened) ----
-        nav_np = jax.tree.map(np.asarray, out.nav)
-        p_new = np.asarray(out.points)
+        # --- write back (under the lock; culls may have intervened);
+        # one batched pull for the whole result set ----
+        nav_np, p_new, valid_new = jax.device_get(
+            (out.nav, out.points, obs2.valid)
+        )
+        obs2 = obs2._replace(valid=valid_new)
         with self.map_lock:
             if optimize_gravity:
                 self._map_gravity = np.asarray(g_new).astype(np.float32)
