@@ -54,13 +54,26 @@ class RgbdSlam(MonoSlam):
         return pc @ r_wc.T + c_w
 
     def process_frame_rgbd(self, image, depth: np.ndarray, ts: float) -> dict:
-        fr = self._make_frame(image, ts)
-        fr_depth = self._sample_depth(depth, fr)
-        if self.state == "NOT_INITIALIZED":
-            self._initialize_from_depth(fr, fr_depth)
+        if (
+            self.state != "NOT_INITIALIZED"
+            and self.last_frame is not None
+            and self.last_frame.r_cw is not None
+        ):
+            # steady state rides the fused one-dispatch tracking core;
+            # depth is sampled host-side at the pulled keypoint pixels
+            # (consumed only if the frame becomes a keyframe)
+            self._pending_depth = None  # stale legacy-path sample
+            self._pending_depth_img = depth
+            fr = self._track_fused(image, ts)
+            self._pending_depth_img = None
         else:
-            self._pending_depth = fr_depth
-            self._track(fr)
+            fr = self._make_frame(image, ts)
+            fr_depth = self._sample_depth(depth, fr)
+            if self.state == "NOT_INITIALIZED":
+                self._initialize_from_depth(fr, fr_depth)
+            else:
+                self._pending_depth = fr_depth
+                self._track(fr)
         self._record_trajectory(fr, ts)
         self.last_frame = fr
         return {
@@ -98,6 +111,10 @@ class RgbdSlam(MonoSlam):
         points, BEFORE the mapping job runs (async-safe)."""
         super()._on_keyframe_created(fr, kf_id)
         z = getattr(self, "_pending_depth", None)
+        dimg = getattr(self, "_pending_depth_img", None)
+        if dimg is not None:
+            # fused steady state: sample lazily for keyframe frames only
+            z = self._sample_depth(dimg, fr)
         if z is None:
             return
         with self.map_lock:

@@ -20,6 +20,7 @@ are left to two-view triangulation (reference's close/far split).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,17 +54,63 @@ class StereoSlam(MonoSlam):
 
     def _make_stereo_frame(self, img_l, img_r, ts: float) -> FrameRecord:
         fr = self._make_frame(img_l, ts)
+        self._attach_stereo(fr, img_l, img_r)
+        return fr
+
+    # -- entry ------------------------------------------------------------
+
+    def process_frame_stereo(self, img_l, img_r, ts: float) -> dict:
+        """Steady state rides the same fused one-dispatch tracking core as
+        mono — only the LEFT image is needed per frame; the right image is
+        stashed and row-matched LAZILY when the frame becomes a keyframe
+        (non-keyframe stereo matching was pure waste: per-frame ur/depth
+        feed nothing but keyframe close-point creation and the stereo BA
+        residuals, reference src/Tracking.cc:1816-1902)."""
+        if (
+            self.state != "NOT_INITIALIZED"
+            and self.last_frame is not None
+            and self.last_frame.r_cw is not None
+        ):
+            self._img_r_pending = (img_l, img_r)
+            fr = self._track_fused(img_l, ts)
+            self._img_r_pending = None
+        else:
+            fr = self._make_stereo_frame(img_l, img_r, ts)
+            if self.state == "NOT_INITIALIZED":
+                self._initialize_from_stereo(fr)
+            else:
+                self._track(fr)
+        self._record_trajectory(fr, ts)
+        self.last_frame = fr
+        return {
+            "state": self.state,
+            "n_tracked": self.n_tracked,
+            "n_kfs": len(self.map.kf_ids()),
+            "n_points": len(self.map.active_point_ids()),
+            "n_stereo": int((fr.ur >= 0).sum()) if fr.ur is not None else 0,
+        }
+
+    def _insert_keyframe(self, fr: FrameRecord):
+        # lazy stereo matching for frames promoted to keyframes out of the
+        # fused (left-only) steady state
+        if fr.ur is None and getattr(self, "_img_r_pending", None) is not None:
+            img_l, img_r = self._img_r_pending
+            self._attach_stereo(fr, img_l, img_r)
+        super()._insert_keyframe(fr)
+
+    def _attach_stereo(self, fr: FrameRecord, img_l, img_r):
+        """Row matching + subpixel refinement for an existing frame."""
         feats_r = self.extractor.extract(img_r)
-        xy_r = np.asarray(undistort_points(self.cam, feats_r.xy))
+        xy_r = undistort_points(self.cam, feats_r.xy)
         ur, matched = match_stereo(
             jnp.asarray(fr.xy),
             fr.desc_pm1,
             jnp.asarray(fr.valid),
             jnp.asarray(fr.level),
-            jnp.asarray(xy_r),
+            xy_r,
             feats_r.descriptors_pm1(),
-            jnp.asarray(feats_r.valid),
-            jnp.asarray(np.asarray(feats_r.level)),
+            feats_r.valid,
+            feats_r.level,
             jnp.float32(self.min_disparity),
             jnp.float32(self.bf / DEPTH_MIN),
         )
@@ -74,33 +121,13 @@ class StereoSlam(MonoSlam):
             ur,
             matched,
         )
-        ur = np.asarray(ur)
-        ok = np.asarray(matched)
+        ur, ok = jax.device_get((ur, matched))
         disp = fr.xy[:, 0] - ur
         ok = ok & (disp > self.min_disparity)
         fr.ur = np.where(ok, ur, -1.0).astype(np.float32)
         fr.depth = np.where(
             ok, self.bf / np.maximum(disp, 1e-6), -1.0
         ).astype(np.float32)
-        return fr
-
-    # -- entry ------------------------------------------------------------
-
-    def process_frame_stereo(self, img_l, img_r, ts: float) -> dict:
-        fr = self._make_stereo_frame(img_l, img_r, ts)
-        if self.state == "NOT_INITIALIZED":
-            self._initialize_from_stereo(fr)
-        else:
-            self._track(fr)
-        self._record_trajectory(fr, ts)
-        self.last_frame = fr
-        return {
-            "state": self.state,
-            "n_tracked": self.n_tracked,
-            "n_kfs": len(self.map.kf_ids()),
-            "n_points": len(self.map.active_point_ids()),
-            "n_stereo": int((fr.ur >= 0).sum()),
-        }
 
     # -- initialization ----------------------------------------------------
 
