@@ -21,10 +21,52 @@ vs_baseline = fps / 20 (the reference's processed camera rate).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 
 def main():
+    """Watchdog wrapper: the remote-TPU tunnel in this environment
+    INTERMITTENTLY wedges at client startup (the process burns no CPU and
+    never progresses — observed ~2 in 5 launches). Run the real bench in
+    a subprocess with a timeout and retry, so one wedge cannot turn the
+    whole benchmark run into silence. `VIORB_BENCH_INNER=1` marks the
+    inner process."""
+    if os.environ.get("VIORB_BENCH_INNER") == "1":
+        return _run()
+    env = dict(os.environ, VIORB_BENCH_INNER="1")
+    last_err = ""
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] attempt {attempt + 1} timed out (tunnel wedge?), "
+                "retrying",
+                file=sys.stderr,
+            )
+            continue
+        lines = [
+            l for l in out.stdout.splitlines() if l.startswith('{"metric"')
+        ]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = out.stderr[-2000:]
+        print(
+            f"[bench] attempt {attempt + 1} failed rc={out.returncode}, retrying",
+            file=sys.stderr,
+        )
+    print(f"[bench] all attempts failed; last stderr:\n{last_err}", file=sys.stderr)
+    sys.exit(1)
+
+
+def _run():
     import jax
     import jax.numpy as jnp
     import numpy as np
