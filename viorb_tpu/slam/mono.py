@@ -352,6 +352,7 @@ class MonoSlam:
                             (float(np.linalg.norm(d_t)),
                              float(np.abs(d_r - np.eye(3)).max()))
                         )
+                        del self._carry_delta_log[:-256]  # bounded diag
                         c = self._dev_carry
                         r_f = c.r_cw @ jnp.asarray(d_r.astype(np.float32))
                         t_f = c.r_cw @ jnp.asarray(
