@@ -185,6 +185,39 @@ def _vi_blocks(
 # ---------------------------------------------------------------------------
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    XLA's batched jnp.linalg.inv on (M,3,3) runs a general LU path that
+    costs ~2 ms at M=2048 on v5e — as much as the rest of the Schur build
+    combined. The damped SPD landmark blocks are well-conditioned, so the
+    cofactor formula (what Eigen uses for fixed-size 3x3 in g2o's
+    block_solver) is exact enough and fuses into the surrounding math."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _schur_system(
     r, Jp, Jl, w, obs: BAObservations, k: int, d: int, lm_lambda
 ):
@@ -193,7 +226,16 @@ def _schur_system(
     r: (M,R,2), Jp: (M,R,2,D), Jl: (M,R,2,3), w: (M,R) combined weights
     (inv_sigma2 * huber * valid). Returns (S (K*D,K*D), b (K*D,), plus the
     landmark back-substitution operators Hll_inv (M,3,3), b_l (M,3),
-    U (M,R,D,3))."""
+    U (M,R,D,3)).
+
+    The Schur fill-in is factorized per landmark: the all-pairs sum
+    sum_{r,s} Y_r U_s^T equals (sum_r Y_r)(sum_s U_s)^T with the sums
+    bucketed by observing keyframe, so the whole fill-in is one
+    (K*D, M*3) x (M*3, K*D) MXU matmul. The previous design materialized
+    the (M,R,R,D,D) pair tensor (19-472 MB) and scatter-added 131k blocks
+    with duplicate indices — TPU scatters serialize on duplicates, which
+    pinned local BA at ~77 LM iters/s for three rounds. Every keyframe
+    bucketing below is a one-hot contraction (matmul), no scatters."""
     m, R = obs.kf_idx.shape
     wJp = Jp * w[..., None, None]
     wJl = Jl * w[..., None, None]
@@ -203,31 +245,59 @@ def _schur_system(
     dmp = lm_lambda * jnp.maximum(jnp.einsum("mii->mi", Hll), 1e-6)  # (M,3)
     Hll = Hll + jax.vmap(jnp.diag)(dmp)
     b_l = -jnp.einsum("mrci,mrc->mi", wJl, r)
-    Hll_inv = jnp.linalg.inv(Hll + 1e-8 * jnp.eye(3, dtype=r.dtype))
+    Hll_inv = _inv3x3(Hll + 1e-8 * jnp.eye(3, dtype=r.dtype))
+
+    # one-hot keyframe assignment (invalid obs have w=0, so whatever slot
+    # their kf_idx names contributes zeros)
+    onehot = (obs.kf_idx[..., None] == jnp.arange(k)).astype(r.dtype)  # (M,R,K)
 
     # pose diag blocks and rhs
     Hpp_blocks = jnp.einsum("mrci,mrcj->mrij", wJp, Jp)  # (M,R,D,D)
     b_p_blocks = -jnp.einsum("mrci,mrc->mri", wJp, r)  # (M,R,D)
+    s_diag = jnp.einsum("mrk,mrij->kij", onehot, Hpp_blocks)  # (K,D,D)
+    b = jnp.einsum("mrk,mri->ki", onehot, b_p_blocks)  # (K,D)
 
     # pose-landmark coupling
     U = jnp.einsum("mrci,mrcj->mrij", wJp, Jl)  # (M,R,D,3)
     Y = jnp.einsum("mrij,mjk->mrik", U, Hll_inv)  # (M,R,D,3)
 
-    # dense reduced system
-    S = jnp.zeros((k, k, d, d), r.dtype)
-    b = jnp.zeros((k, d), r.dtype)
-    flat_kf = obs.kf_idx.reshape(-1)
-    S = S.at[flat_kf, flat_kf].add(Hpp_blocks.reshape(-1, d, d))
-    b = b.at[flat_kf].add(b_p_blocks.reshape(-1, d))
+    # Schur fill-in: bucket Y and U by keyframe, contract over (m, 3).
+    # Chunk the landmark axis so the (Mc,K,D,3) buckets stay ~<=16 MB even
+    # at GBA sizes (M=8192, K~64, D=15 would be 94 MB unchunked).
+    budget = 4 * 1024 * 1024  # f32 elements per bucket buffer
+    mc = m
+    while mc > 1 and mc * k * d * 3 > budget:
+        mc //= 2
+    if m % mc:
+        mc = m  # non-power-of-two M: fall back to one shot
 
-    # Schur fill-in: S[a,b] -= Y_a U_b^T for obs pairs of the same landmark
-    fill = jnp.einsum("mrik,msjk->mrsij", Y, U)  # (M,R,R,D,D)
-    ia = jnp.broadcast_to(obs.kf_idx[:, :, None], (m, R, R)).reshape(-1)
-    ib = jnp.broadcast_to(obs.kf_idx[:, None, :], (m, R, R)).reshape(-1)
-    S = S.at[ia, ib].add(-fill.reshape(-1, d, d))
-    # b_red[a] -= Y_a b_l
-    bl_fill = jnp.einsum("mrik,mk->mri", Y, b_l)
-    b = b.at[flat_kf].add(-bl_fill.reshape(-1, d))
+    def fill_chunk(acc, sl):
+        oh_c, y_c, u_c = sl
+        wb = jnp.einsum("mrk,mric->mkic", oh_c, y_c)
+        vb = jnp.einsum("mrk,mric->mkic", oh_c, u_c)
+        return acc + jnp.einsum("maic,mbjc->abij", wb, vb), None
+
+    acc0 = jnp.zeros((k, k, d, d), r.dtype)
+    if mc == m:
+        fill, _ = fill_chunk(acc0, (onehot, Y, U))
+    else:
+        n = m // mc
+        fill, _ = jax.lax.scan(
+            fill_chunk,
+            acc0,
+            (
+                onehot.reshape(n, mc, R, k),
+                Y.reshape(n, mc, R, d, 3),
+                U.reshape(n, mc, R, d, 3),
+            ),
+        )
+
+    S = -fill
+    S = S.at[jnp.arange(k), jnp.arange(k)].add(s_diag)
+
+    # b_red[a] -= sum_{obs of a} Y b_l
+    yb = jnp.einsum("mrik,mk->mri", Y, b_l)
+    b = b - jnp.einsum("mrk,mri->ki", onehot, yb)
 
     S = S.transpose(0, 2, 1, 3).reshape(k * d, k * d)
     b = b.reshape(k * d)
@@ -542,10 +612,14 @@ def vi_ba(
         hw = huber_weight(chi2, delta2)
         w = obs.inv_sigma2 * hw * obs.valid.astype(r.dtype)
         S, b, Hll_inv, b_l, U = _schur_system(r, Jp, Jl, w, obs, k, d, lam)
-        Himu, gimu, _ = _vi_imu_system(state.nav, chain, gravity, k)
+        Himu, gimu, imu_cost0 = _vi_imu_system(state.nav, chain, gravity, k)
         S = S + Himu.transpose(0, 2, 1, 3).reshape(k * d, k * d)
         b = b + gimu.reshape(k * d)
-        cost0, _ = _vi_cost(state, obs, cam, ext, chain, gravity, delta2)
+        # cost0 from the blocks already in hand (matches _vi_cost exactly)
+        cost0 = (
+            jnp.sum(jnp.where(obs.valid, chi2 * jnp.minimum(hw, 1.0), 0.0))
+            + imu_cost0
+        )
         dx = _solve_reduced(S, b, fixed_kd, lam)
         dl = _back_substitute(Hll_inv, b_l, U, dx, obs, d)
         cand = _apply_vi_update(state, dx, dl, k, fixed_lm)
@@ -686,7 +760,10 @@ def _vi_imu_system_gw(nav: NavState, chain: ImuChain, gravity, basis, k: int):
     g_rhs = g_rhs.at[idx_i].add(-jnp.einsum("eci,ec,ec->ei", Bi, binfo, rb))
     g_rhs = g_rhs.at[idx_j].add(-jnp.einsum("eci,ec,ec->ei", Bj, binfo, rb))
 
-    return H, g_rhs, C, Hgg, g_g
+    imu_cost = jnp.sum(
+        jnp.where(chain.valid, chi2 * jnp.minimum(hw, 1.0), 0.0)
+    ) + jnp.sum(binfo * rb * rb)
+    return H, g_rhs, C, Hgg, g_g, imu_cost
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -732,7 +809,7 @@ def vi_ba_gw(
         hw = huber_weight(chi2, delta2)
         w = obs.inv_sigma2 * hw * obs.valid.astype(r.dtype)
         S, b, Hll_inv, b_l, U = _schur_system(r, Jp, Jl, w, obs, k, d, lam)
-        Himu, gimu, Cg, Hgg, gg = _vi_imu_system_gw(
+        Himu, gimu, Cg, Hgg, gg, imu_cost0 = _vi_imu_system_gw(
             state.nav, chain, gravity, basis, k
         )
         S = S + Himu.transpose(0, 2, 1, 3).reshape(k * d, k * d)
@@ -745,7 +822,10 @@ def vi_ba_gw(
         A = A.at[k * d :, : k * d].set(Cflat.T)
         A = A.at[k * d :, k * d :].set(Hgg)
         rhs = jnp.concatenate([b, gg])
-        cost0, _ = _vi_cost(state, obs, cam, ext, chain, gravity, delta2)
+        cost0 = (
+            jnp.sum(jnp.where(obs.valid, chi2 * jnp.minimum(hw, 1.0), 0.0))
+            + imu_cost0
+        )
         dx = _solve_reduced(A, rhs, fixed_ext, lam)
         dx_pose, dg = dx[: k * d], dx[k * d :]
         dl = _back_substitute(Hll_inv, b_l, U, dx_pose, obs, d)
