@@ -346,12 +346,25 @@ def _run():
     out_vi = vi_core(*vi_args(images[1]), use_prior=False)
     _ = np.asarray(out_vi[5])  # compile + fence
     n_vi = 100
-    t0 = time.perf_counter()
-    for j in range(n_vi):
-        out_vi = vi_core(*vi_args(images[1 + (j % 15)]), use_prior=False)
-    _ = np.asarray(out_vi[5])
-    vi_fps = n_vi / (time.perf_counter() - t0)
+
+    def timed_vi_loop():
+        t0 = time.perf_counter()
+        for j in range(n_vi):
+            o = vi_core(*vi_args(images[1 + (j % 15)]), use_prior=False)
+        _ = np.asarray(o[5])
+        return n_vi / (time.perf_counter() - t0)
+
+    # median-of-5 with spread: this dispatch-per-frame loop's rate is set
+    # by the tunnel's enqueue rate, which drifts >2x between runs on
+    # identical code (r3 measured 169.9 fps, r4 80.0) — one run is a
+    # sample, not a number. The spread makes drift visible; the scan-based
+    # vi_device_fps below is the tunnel-free device truth.
+    vi_runs = sorted(timed_vi_loop() for _ in range(5))
+    vi_fps = vi_runs[2]
     extra["vi_tracking_fps"] = round(vi_fps, 2)
+    extra["vi_tracking_fps_spread"] = [
+        round(vi_runs[0], 2), round(vi_runs[-1], 2)
+    ]
     extra["vi_vs_baseline"] = round(vi_fps / 20.0, 2)
 
     # device-resident VI loop (whole clip in one program, NavState carried
@@ -359,17 +372,18 @@ def _run():
     # per-dispatch enqueue overhead — what a host-attached chip sustains
     clip_vi = jnp.stack([np.asarray(images[1 + (i % 15)]) for i in range(15)])
 
-    def vi_scan_ms():
-        @jax.jit
-        def run_clip(nav, clip):
-            def body(ns, im):
-                args = vi_args(im)
-                out = vi_core(args[0], ns, *args[2:], use_prior=False)
-                return out[7], out[5]
-            return jax.lax.scan(body, nav, clip)
+    @jax.jit
+    def run_clip(nav, clip):
+        def body(ns, im):
+            args = vi_args(im)
+            out = vi_core(args[0], ns, *args[2:], use_prior=False)
+            return out[7], out[5]
+        return jax.lax.scan(body, nav, clip)
 
-        _ = np.asarray(run_clip(ns0, clip_vi)[1])
-        reps = 3
+    _ = np.asarray(run_clip(ns0, clip_vi)[1])
+    reps = 3
+
+    def vi_scan_once():
         t0 = time.perf_counter()
         for _ in range(reps):
             _, ns_out = run_clip(ns0, clip_vi)
@@ -379,11 +393,31 @@ def _run():
         for _ in range(3 * reps):
             _, ns_out = run_clip(ns0, clip_vi)
         _ = np.asarray(ns_out[-1:])
-        d3 = time.perf_counter() - t0
-        return max(d3 - d1, 1e-9) / (2 * reps * 15) * 1000.0
+        return d1, time.perf_counter() - t0
 
-    ms = vi_scan_ms()
-    extra["vi_device_fps"] = round(1000.0 / ms, 2)
+    # length-differenced timing REQUIRES d3 > d1 (3x the executions):
+    # tunnel jitter can cross the two timings, and r4's bench printed the
+    # floored delta as 9e10 fps. Collect monotone samples only, median
+    # them, and surface a diagnostic instead of a number when the tunnel
+    # never settles.
+    scan_samples = []
+    d1 = d3 = 0.0
+    for _ in range(6):
+        d1, d3 = vi_scan_once()
+        if d3 > 1.2 * d1:
+            scan_samples.append((d3 - d1) / (2 * reps * 15) * 1000.0)
+        if len(scan_samples) >= 3:
+            break
+    if scan_samples:
+        ms = float(np.median(scan_samples))
+        extra["vi_device_fps"] = round(1000.0 / ms, 2)
+    else:
+        extra["vi_device_fps"] = None
+        extra["vi_device_fps_error"] = (
+            "non-monotone differenced timings after 6 tries "
+            f"(last d1={d1:.3f}s d3={d3:.3f}s): tunnel jitter exceeded "
+            "the measured device time; no reliable estimate"
+        )
 
     # ---- full-pipeline fps: the real MonoSlam.process_frame loop
     # (fused tracking + host map bookkeeping + mapping jobs on keyframe
@@ -403,9 +437,11 @@ def _run():
     imgs_dev = [jnp.asarray(im) for im in imgs_u8]
 
     def run_pipeline(streaming, frames):
+        # depth 2: the accuracy/throughput sweet spot (deeper pipelines
+        # drop frames under fast motion — the map lags the dispatches)
         slam = MonoSlam(
             cam, n_features=1000, kf_max_interval=5, streaming=streaming,
-            streaming_depth=8,
+            streaming_depth=2,
         )
         t0 = time.perf_counter()
         for i, img_i in enumerate(frames):

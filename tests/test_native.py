@@ -36,6 +36,72 @@ def test_union_points(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def _random_map(rng, n_kf=6, n_feat=80, n_pts=120):
+    from viorb_tpu.mapping.map import KeyFrameData, MapStore
+
+    store = MapStore()
+    for k in range(n_kf):
+        r = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+        kf = KeyFrameData(
+            kf_id=-1,
+            timestamp=0.1 * k,
+            r_cw=r,
+            t_cw=rng.normal(size=3).astype(np.float32),
+            xy=rng.uniform(0, 400, size=(n_feat, 2)).astype(np.float32),
+            level=rng.integers(0, 8, n_feat).astype(np.int32),
+            angle=np.zeros(n_feat, np.float32),
+            desc01=(rng.random((n_feat, 256)) > 0.5).astype(np.uint8),
+            valid=np.ones(n_feat, bool),
+            point_idx=np.full(n_feat, -1, np.int32),
+        )
+        store.add_keyframe(kf)
+    used = {k: set() for k in range(n_kf)}
+    for _ in range(n_pts):
+        k0 = int(rng.integers(0, n_kf))
+        free = [f for f in range(n_feat) if f not in used[k0]]
+        if not free:
+            continue
+        f0 = int(rng.choice(free))
+        used[k0].add(f0)
+        p = store.add_point(
+            rng.normal(size=3).astype(np.float32) * 3,
+            store.keyframes[k0].desc01[f0], k0, f0,
+        )
+        for k1 in range(n_kf):
+            if k1 == k0 or rng.random() > 0.5:
+                continue
+            free1 = [f for f in range(n_feat) if f not in used[k1]]
+            if not free1:
+                continue
+            f1 = int(rng.choice(free1))
+            used[k1].add(f1)
+            store.add_observation(p, k1, f1)
+    return store
+
+
+def test_update_point_stats_native_matches_fallback(rng, monkeypatch):
+    import copy
+
+    store = _random_map(rng)
+    pts = store.active_point_ids()
+    ref = copy.deepcopy(store)
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    ref.update_point_stats(pts)  # numpy fallback path (the spec)
+    monkeypatch.undo()
+    assert native.get_lib() is not None
+    store.update_point_stats(pts)  # native path
+    np.testing.assert_array_equal(store.pt_desc01[pts], ref.pt_desc01[pts])
+    np.testing.assert_allclose(
+        store.pt_normal[pts], ref.pt_normal[pts], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        store.pt_max_dist[pts], ref.pt_max_dist[pts], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        store.pt_min_dist[pts], ref.pt_min_dist[pts], rtol=1e-5
+    )
+
+
 def test_build_ba_grid(rng):
     max_points, slots, max_kf, n_feat = 200, 8, 10, 64
     obs_kf = rng.integers(-1, max_kf, size=(max_points, slots)).astype(np.int32)

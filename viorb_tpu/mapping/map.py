@@ -44,7 +44,10 @@ class KeyFrameData:
     xy: np.ndarray  # (N,2) undistorted keypoint pixels (level-0 coords)
     level: np.ndarray  # (N,)
     angle: np.ndarray  # (N,)
-    desc01: np.ndarray  # (N,256) uint8
+    # (N,256) uint8; may be None until ensure_desc01() pulls it from
+    # desc01_dev (keyframes created from streamed frames defer the 256 KB
+    # device pull to the mapping job's batched pull)
+    desc01: Optional[np.ndarray]
     valid: np.ndarray  # (N,) bool
     point_idx: np.ndarray  # (N,) int32 map-point id per feature (-1 none)
     # stereo: right-image u per feature (-1 = no stereo match)
@@ -59,6 +62,12 @@ class KeyFrameData:
     parent_kf: int = -1
     bow: Optional[np.ndarray] = None  # sparse BoW vector (host)
     active: bool = True
+    # device handle backing a deferred desc01 (see ensure_desc01)
+    desc01_dev: Optional[object] = None
+    # lazy caches for the native update_point_stats kernel (descriptors
+    # and levels are immutable once the keyframe exists)
+    _desc_bits: Optional[np.ndarray] = None
+    _level_i32: Optional[np.ndarray] = None
 
     @property
     def n_feats(self) -> int:
@@ -67,8 +76,46 @@ class KeyFrameData:
     def center(self) -> np.ndarray:
         return -self.r_cw.T @ self.t_cw
 
+    def ensure_desc01(self) -> np.ndarray:
+        """Host descriptor block, pulling it from the device handle on
+        first use (the mapping job batches this pull with its
+        triangulation results; any other caller pays one pull)."""
+        d = self.desc01
+        if d is None:
+            # two threads may race here (mapping worker vs tracker
+            # fallback): hold a local ref to the handle so a concurrent
+            # fulfiller clearing desc01_dev cannot break this one
+            dev = self.desc01_dev
+            if dev is not None:
+                self.desc01 = np.asarray(dev)
+                self.desc01_dev = None
+            d = self.desc01
+        return d
+
+    def desc_bits(self) -> np.ndarray:
+        """(N,4) uint64 packed 256-bit descriptors (bit b of word w =
+        desc01[w*64+b]); cached — descriptors never change."""
+        if self._desc_bits is None:
+            packed = np.packbits(
+                np.ascontiguousarray(self.ensure_desc01()), axis=1,
+                bitorder="little",
+            )
+            self._desc_bits = np.ascontiguousarray(packed).view(np.uint64)
+        return self._desc_bits
+
+    def level_i32(self) -> np.ndarray:
+        if self._level_i32 is None:
+            self._level_i32 = np.ascontiguousarray(self.level, np.int32)
+        return self._level_i32
+
 
 class MapStore:
+    """max_points is the INITIAL capacity: the SoA arrays grow
+    geometrically on demand (the reference's std::set maps are unbounded,
+    src/Map.cc; a KITTI-length run must not hit a hard wall). Device-side
+    launch shapes stay fixed — they are capped by the local-map /
+    BA-landmark capacities, not by the store size."""
+
     def __init__(self, max_points: int = 32768):
         self.keyframes: Dict[int, KeyFrameData] = {}
         self._next_kf = 0
@@ -107,6 +154,34 @@ class MapStore:
 
     # -- points ------------------------------------------------------------
 
+    def _grow_points(self, need: int):
+        """Double the point-SoA capacity until it covers `need` rows."""
+        new_cap = self.max_points
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self.max_points:
+            return
+        old = self.max_points
+
+        def ext(a, fill):
+            out = np.empty((new_cap,) + a.shape[1:], a.dtype)
+            out[:old] = a
+            out[old:] = fill
+            return out
+
+        self.pt_xyz = ext(self.pt_xyz, 0)
+        self.pt_desc01 = ext(self.pt_desc01, 0)
+        self.pt_normal = ext(self.pt_normal, 0)
+        self.pt_min_dist = ext(self.pt_min_dist, 0)
+        self.pt_max_dist = ext(self.pt_max_dist, 0)
+        self.pt_found = ext(self.pt_found, 0)
+        self.pt_visible = ext(self.pt_visible, 0)
+        self.pt_first_kf = ext(self.pt_first_kf, -1)
+        self.pt_active = ext(self.pt_active, False)
+        self.obs_kf = ext(self.obs_kf, -1)
+        self.obs_feat = ext(self.obs_feat, -1)
+        self.max_points = new_cap
+
     def add_point(
         self, xyz, desc01, kf_id: int, feat_idx: int, normal=None
     ) -> int:
@@ -116,7 +191,7 @@ class MapStore:
             i = self._next_pt
             self._next_pt += 1
             if i >= self.max_points:
-                raise RuntimeError("map point capacity exceeded")
+                self._grow_points(i + 1)
         self.pt_xyz[i] = xyz
         self.pt_desc01[i] = desc01
         self.pt_active[i] = True
@@ -136,6 +211,57 @@ class MapStore:
         self.pt_min_dist[i] = self.pt_max_dist[i] / (1.2**7)
         self.add_observation(i, kf_id, feat_idx)
         return i
+
+    def add_points_batch(
+        self,
+        xyz: np.ndarray,  # (n,3)
+        desc01: np.ndarray,  # (n,256)
+        kf_id: int,
+        feats1: np.ndarray,  # (n,) feature rows in kf_id
+        nb_id: int,
+        feats2: np.ndarray,  # (n,) feature rows in nb_id
+    ) -> np.ndarray:
+        """Vectorized add_point + two add_observations for a batch of
+        freshly triangulated landmarks (the per-point Python path costs
+        ~0.2 ms each; triangulation adds hundreds per keyframe). Callers
+        guarantee feats1/feats2 are unbound and duplicate-free (mutual
+        matching)."""
+        n = len(feats1)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        take = min(len(self._free_pts), n)
+        ids = [self._free_pts.pop() for _ in range(take)]
+        rest = n - take
+        if rest:
+            if self._next_pt + rest > self.max_points:
+                self._grow_points(self._next_pt + rest)
+            ids.extend(range(self._next_pt, self._next_pt + rest))
+            self._next_pt += rest
+        ids = np.asarray(ids, np.int64)
+        kf = self.keyframes[kf_id]
+        nb = self.keyframes[nb_id]
+        self.pt_xyz[ids] = xyz
+        self.pt_desc01[ids] = desc01
+        self.pt_active[ids] = True
+        self.pt_found[ids] = 1
+        self.pt_visible[ids] = 1
+        self.pt_first_kf[ids] = kf_id
+        self.obs_kf[ids] = -1
+        self.obs_feat[ids] = -1
+        c = kf.center()
+        d = xyz - c
+        dist = np.linalg.norm(d, axis=1)
+        self.pt_normal[ids] = d / np.maximum(dist, 1e-9)[:, None]
+        mx = dist * 1.2 ** kf.level[feats1].astype(np.float32)
+        self.pt_max_dist[ids] = mx
+        self.pt_min_dist[ids] = mx / (1.2**7)
+        self.obs_kf[ids, 0] = kf_id
+        self.obs_feat[ids, 0] = feats1
+        self.obs_kf[ids, 1] = nb_id
+        self.obs_feat[ids, 1] = feats2
+        kf.point_idx[feats1] = ids
+        nb.point_idx[feats2] = ids
+        return ids
 
     def add_observation(self, pt: int, kf_id: int, feat_idx: int) -> bool:
         slots = self.obs_kf[pt]
@@ -227,7 +353,37 @@ class MapStore:
     def update_point_stats(self, pt_ids: np.ndarray):
         """Recompute distinctive descriptor (median Hamming, reference
         MapPoint::ComputeDistinctiveDescriptors) and normal/depth range
-        (UpdateNormalAndDepth) for the given points."""
+        (UpdateNormalAndDepth) for the given points. Runs in the native
+        C++ kernel (XOR+popcount over packed bits); the numpy loop below
+        is the fallback and the behavioral spec."""
+        if len(pt_ids) == 0:
+            return
+        from viorb_tpu import native
+
+        if native.get_lib() is not None:
+            n_kf = self._next_kf
+            desc_ptrs = np.zeros(n_kf, np.uint64)
+            level_ptrs = np.zeros(n_kf, np.uint64)
+            centers = np.zeros((n_kf, 3), np.float32)
+            alive = np.zeros(n_kf, np.uint8)
+            keep = []  # keep the per-kf caches referenced during the call
+            for k, kf in self.keyframes.items():
+                db = kf.desc_bits()
+                lv = kf.level_i32()
+                keep.append((db, lv))
+                desc_ptrs[k] = db.ctypes.data
+                level_ptrs[k] = lv.ctypes.data
+                centers[k] = kf.center()
+                alive[k] = 1
+            native.update_point_stats(
+                np.ascontiguousarray(pt_ids, np.int64),
+                self.obs_kf, self.obs_feat,
+                desc_ptrs, level_ptrs, centers, alive,
+                self.pt_xyz, self.pt_desc01, self.pt_normal,
+                self.pt_min_dist, self.pt_max_dist,
+            )
+            del keep
+            return
         for p in pt_ids:
             obs = [
                 (int(k), int(f))
@@ -236,7 +392,9 @@ class MapStore:
             ]
             if not obs:
                 continue
-            descs = np.stack([self.keyframes[k].desc01[f] for k, f in obs])
+            descs = np.stack(
+                [self.keyframes[k].ensure_desc01()[f] for k, f in obs]
+            )
             if len(descs) > 1:
                 # median-hamming-distance descriptor
                 d = (descs[:, None, :] != descs[None, :, :]).sum(-1)

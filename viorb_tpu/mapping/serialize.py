@@ -48,6 +48,7 @@ def save_map(m: MapStore, path: str, extra: dict | None = None):
         p = f"kf{i}_"
         data[p + "r_cw"] = kf.r_cw
         data[p + "t_cw"] = kf.t_cw
+        kf.ensure_desc01()  # fulfill a deferred descriptor pull
         for f in _KF_ARRAYS:
             data[p + f] = getattr(kf, f)
         if kf.ur is not None:

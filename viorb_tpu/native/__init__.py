@@ -49,6 +49,14 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.update_point_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -90,6 +98,31 @@ def union_points(point_idx_concat, active):
         active_u8.ctypes.data, len(active), out.ctypes.data,
     )
     return out
+
+
+def update_point_stats(
+    pt_ids, obs_kf, obs_feat, desc_ptrs, level_ptrs, centers, kf_alive,
+    pt_xyz, pt_desc01, pt_normal, pt_min_dist, pt_max_dist,
+):
+    """In-place refresh of distinctive descriptor / normal / depth range
+    for the given point rows (the hot host pass of the mapping job —
+    reference MapPoint::ComputeDistinctiveDescriptors +
+    UpdateNormalAndDepth). Returns False when the native library is
+    unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None or len(pt_ids) == 0:
+        return lib is not None
+    pt_ids = np.ascontiguousarray(pt_ids, np.int64)
+    lib.update_point_stats(
+        pt_ids.ctypes.data, len(pt_ids),
+        obs_kf.ctypes.data, obs_feat.ctypes.data, obs_kf.shape[1],
+        desc_ptrs.ctypes.data, level_ptrs.ctypes.data,
+        centers.ctypes.data, kf_alive.ctypes.data, len(kf_alive),
+        pt_xyz.ctypes.data,
+        pt_desc01.ctypes.data, pt_normal.ctypes.data,
+        pt_min_dist.ctypes.data, pt_max_dist.ctypes.data,
+    )
+    return True
 
 
 def build_ba_grid(

@@ -87,6 +87,67 @@ def match_by_projection(
     return point_for_feat, res, n, visible
 
 
+def unpack_desc_bits(bits: jax.Array) -> jax.Array:
+    """(N,32) uint8 packed bits (numpy packbits bitorder='little') ->
+    (N,256) uint8 {0,1}. Descriptor uploads over a remote-attached chip
+    ship 8x fewer bytes and unpack on device."""
+    b = (
+        bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    ) & jnp.uint8(1)
+    return b.reshape(bits.shape[0], 256)
+
+
+@jax.jit
+def unpack_local_map(
+    packed: jax.Array,  # (M,8) f32: xyz | normal | dmin | dmax
+    desc_bits: jax.Array,  # (M,32) uint8 packed descriptor bits
+    valid: jax.Array,  # (M,)
+):
+    """Split the packed local-map upload into the argument tuple the
+    fused tracking cores take (xyz, desc_pm1, valid, normal, dmin, dmax).
+    Three small host->device transfers instead of six (one of them 1 MB)
+    per map epoch."""
+    desc01 = unpack_desc_bits(desc_bits)
+    desc_pm1 = (desc01.astype(jnp.bfloat16) * 2 - 1) * valid[:, None].astype(
+        jnp.bfloat16
+    )
+    return (
+        packed[:, 0:3], desc_pm1, valid, packed[:, 3:6], packed[:, 6],
+        packed[:, 7],
+    )
+
+
+@jax.jit
+def fuse_match_gathered(
+    pt_packed: jax.Array,  # (U,8) f32 union payload: xyz|normal|dmin|dmax
+    pt_desc_bits: jax.Array,  # (U,32) uint8 packed bits
+    pt_valid: jax.Array,  # (U,)
+    sel: jax.Array,  # (S,) int32 rows of the union for THIS pair, -1 pad
+    r_cw: jax.Array,
+    t_cw: jax.Array,
+    kf_xy: jax.Array,
+    kf_desc_pm1: jax.Array,
+    kf_valid: jax.Array,
+    cam: PinholeCamera,
+    radius: jax.Array,
+):
+    """Fuse-projection matching where the (mutable) point payload is the
+    per-JOB union, uploaded once, and each pair selects its subset on
+    device — per-pair transfer cost collapses to one tiny index vector."""
+    ok = sel >= 0
+    s = jnp.maximum(sel, 0)
+    packed = pt_packed[s]
+    desc01 = unpack_desc_bits(pt_desc_bits[s])
+    valid = pt_valid[s] & ok
+    desc_pm1 = (desc01.astype(jnp.bfloat16) * 2 - 1) * valid[:, None].astype(
+        jnp.bfloat16
+    )
+    return match_by_projection(
+        packed[:, 0:3], desc_pm1, valid, packed[:, 3:6], packed[:, 6],
+        packed[:, 7], r_cw, t_cw, kf_xy, kf_desc_pm1, kf_valid, cam, radius,
+    )
+
+
 @jax.jit
 def fundamental_from_poses(
     r1: jax.Array, t1: jax.Array, r2: jax.Array, t2: jax.Array, K: jax.Array

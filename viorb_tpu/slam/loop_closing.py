@@ -77,7 +77,7 @@ class LoopCloser:
         # matmuls (bow/vocabulary.py transform_device) instead of the host
         # numpy loop — this is the per-keyframe hot cost of place
         # recognition (reference ComputeBoW in ProcessNewKeyFrame)
-        d_pm1 = jnp.asarray(kf.desc01, jnp.float32) * 2 - 1
+        d_pm1 = jnp.asarray(kf.ensure_desc01(), jnp.float32) * 2 - 1
         words, bow = self.vocab.transform_device(d_pm1, jnp.asarray(kf.valid))
         kf.bow = bow
         self.db.add(kf_id, bow)
@@ -133,8 +133,8 @@ class LoopCloser:
         has2 = (cd.point_idx >= 0) & cd.valid
         if has1.sum() < self.min_matches or has2.sum() < self.min_matches:
             return None
-        d1 = jnp.asarray(kf.desc01, jnp.float32) * 2 - 1
-        d2 = jnp.asarray(cd.desc01, jnp.float32) * 2 - 1
+        d1 = jnp.asarray(kf.ensure_desc01(), jnp.float32) * 2 - 1
+        d2 = jnp.asarray(cd.ensure_desc01(), jnp.float32) * 2 - 1
         dist = hamming_matrix(d1, d2)
         gate = valid_gate(jnp.asarray(has1), jnp.asarray(has2))
         res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.9, mutual=True)
@@ -239,7 +239,7 @@ class LoopCloser:
         if pvalid.sum() < 10:
             return 0
         d_pts = (jnp.asarray(self.map.pt_desc01[pts], jnp.bfloat16) * 2 - 1)
-        d_kf = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
+        d_kf = (jnp.asarray(kf.ensure_desc01(), jnp.bfloat16) * 2 - 1)
         dist = hamming_matrix(d_pts, d_kf)
         d2 = jnp.sum(
             (jnp.asarray(uv)[:, None, :] - jnp.asarray(kf.xy)[None, :, :]) ** 2,

@@ -36,7 +36,6 @@ import numpy as np
 
 from viorb_tpu.features import OrbExtractor
 from viorb_tpu.geometry.camera import PinholeCamera, undistort_points
-from viorb_tpu.geometry.so3 import normalize_rotation
 from viorb_tpu.mapping.map import KeyFrameData, MapStore, MAX_OBS_PER_POINT
 from viorb_tpu.optim import (
     BAObservations,
@@ -74,6 +73,12 @@ class FrameRecord:
     # 256 KB desc01 block OUT of the per-frame host pull (it is only
     # needed when the frame becomes a keyframe or relocalizes)
     desc01_dev: Optional[jax.Array] = None
+    # device handles of the immutable per-frame payload (kept so a frame
+    # promoted to keyframe seeds the device payload cache with ZERO
+    # re-uploads — triangulation/fusion then never ship these again)
+    xy_dev: Optional[jax.Array] = None
+    level_dev: Optional[jax.Array] = None
+    valid_dev: Optional[jax.Array] = None
 
     def host_desc01(self) -> np.ndarray:
         if self.desc01 is None:
@@ -146,6 +151,8 @@ class MonoSlam:
         # steady-state frame loop re-uploads nothing but the image
         self._track_core = None
         self._lm_cache = None
+        # kf_id -> device payload (immutable per-KF feature arrays)
+        self._kf_dev: dict = {}
         # localization-only: track against the existing map, never insert
         # keyframes or modify the map (reference
         # System::ActivateLocalizationMode -> Tracking::mbOnlyTracking,
@@ -159,8 +166,12 @@ class MonoSlam:
         # post-loop GBA thread + abort epoch (reference spawns a killable
         # GBA thread per loop, src/LoopClosing.cc:606, :432-460)
         self._gba_thread: Optional[threading.Thread] = None
+        self._gba_error: Optional[BaseException] = None
         self._loop_epoch = 0
         self._mapping_queue: "queue.Queue[Optional[int]]" = queue.Queue()
+        # deferred local-BA write-back (async mode): the solve's device
+        # handles, applied at the next mapping job / wait_mapping_idle
+        self._pending_ba = None
         self._worker: Optional[threading.Thread] = None
         self._worker_error: Optional[BaseException] = None
         if self.async_mapping:
@@ -185,10 +196,12 @@ class MonoSlam:
         self.streaming = streaming
         # streaming dispatch blocks while this many mapping jobs are
         # unfinished. 1 = the map is never more than the in-flight window
-        # stale (tracking quality ~ lock-step; the streaming win is
-        # overlapping the device round trips, not the mapping); raising it
-        # overlaps mapping too but lets the map lag behind fast motion
-        self.mapping_backlog_limit = 1
+        # stale (tracking quality ~ lock-step; the streaming win is then
+        # only overlapping the device round trips); 2 (default) also
+        # overlaps a full mapping job with tracking — measured 2x
+        # pipeline throughput — while the map stays at most one keyframe
+        # interval behind (test_streaming covers accuracy at this depth)
+        self.mapping_backlog_limit = 2
         # (anchor_kf_id, r_cw, t_cw, map_version) the carry is aligned to
         self._carry_anchor = None
         self._carry_delta_log: list = []  # applied re-anchor magnitudes
@@ -225,15 +238,23 @@ class MonoSlam:
     def _make_frame(self, image, ts) -> FrameRecord:
         feats = self.extractor.extract(image)
         xy_und = undistort_points(self.cam, feats.xy)
+        # one batched pull (each separate pull costs a tunnel round trip)
+        xy, level, angle, desc01, valid = jax.device_get(
+            (xy_und, feats.level, feats.angle, feats.desc01, feats.valid)
+        )
         return FrameRecord(
             timestamp=ts,
-            xy=np.asarray(xy_und),
-            level=np.asarray(feats.level),
-            angle=np.asarray(feats.angle),
-            desc01=np.asarray(feats.desc01),
-            valid=np.asarray(feats.valid),
+            xy=xy,
+            level=level,
+            angle=angle,
+            desc01=desc01,
+            valid=valid,
             desc_pm1=feats.descriptors_pm1(),
             point_idx=np.full(feats.capacity, -1, np.int32),
+            desc01_dev=feats.desc01,
+            xy_dev=xy_und,
+            level_dev=feats.level,
+            valid_dev=feats.valid,
         )
 
     def process_frame(self, image, ts: float) -> dict:
@@ -372,11 +393,23 @@ class MonoSlam:
             self._dev_carry, jnp.asarray(image), *dev
         )
         self._dev_carry = carry
+        # start host copies of the bookkeeping fields NOW: by the time the
+        # collector drains this frame the bytes are already host-side, so
+        # its device_get costs ~0 instead of a tunnel round trip per batch
+        for x in (
+            outs[1], outs[0].level, outs[0].angle, outs[0].valid,
+            outs[3], outs[4], outs[5], outs[6], outs[7], outs[8],
+        ):
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass
         # adaptive depth: when tracking confidence is low (map-coverage
         # boundary, fast motion) every lagged frame costs accuracy — drop
         # to depth 1 (lock-step-like) until confidence recovers; full
-        # depth only when tracking is comfortably inside the map
-        depth = self.streaming_depth if self.n_tracked >= 40 else 1
+        # depth whenever tracking is solidly above the weak-streak
+        # threshold (20; see _collect_batch)
+        depth = self.streaming_depth if self.n_tracked >= 24 else 1
         with self._stream_cv:
             # backpressure: bound in-flight device memory + failure lag
             while (
@@ -465,6 +498,9 @@ class MonoSlam:
                 desc_pm1=fdesc,
                 point_idx=np.full(nf, -1, np.int32),
                 desc01_dev=feats.desc01,
+                xy_dev=_xy_d,
+                level_dev=feats.level,
+                valid_dev=feats.valid,
             )
             if not bool(ok):
                 # the device carry froze at the last good pose, so a
@@ -607,6 +643,9 @@ class MonoSlam:
         self.n_tracked = int(inl.sum())
 
     def _kf_from_frame(self, fr: FrameRecord) -> KeyFrameData:
+        # a streamed frame's descriptors live on device; DEFER the 256 KB
+        # pull to the mapping job's batched pull (KeyFrameData.ensure_desc01)
+        defer = fr.desc01 is None and fr.desc01_dev is not None
         kf = KeyFrameData(
             kf_id=-1,
             timestamp=fr.timestamp,
@@ -615,10 +654,11 @@ class MonoSlam:
             xy=fr.xy.copy(),
             level=fr.level.copy(),
             angle=fr.angle.copy(),
-            desc01=fr.host_desc01().copy(),
+            desc01=None if defer else fr.host_desc01().copy(),
             valid=fr.valid.copy(),
             point_idx=np.full(fr.xy.shape[0], -1, np.int32),
             ur=None if fr.ur is None else fr.ur.copy(),
+            desc01_dev=fr.desc01_dev if defer else None,
         )
         return kf
 
@@ -661,33 +701,102 @@ class MonoSlam:
         valid[:m] = True
         return pts, xyz, desc, normal, dmin, dmax, valid
 
+    def _gather_local_points_packed(self, kf_ids: List[int]):
+        """Local-map payload gathered into ONE packed float block + the
+        descriptor block + validity (3 uploads; transfers over a
+        remote-attached chip are latency-bound)."""
+        pts = self.map.local_map_points(kf_ids)
+        cap = self.max_local_points
+        if len(pts) > cap:
+            pts = pts[:cap]
+        m = len(pts)
+        packed = np.zeros((cap, 8), np.float32)
+        bits = np.zeros((cap, 32), np.uint8)
+        valid = np.zeros(cap, bool)
+        packed[:m, 0:3] = self.map.pt_xyz[pts]
+        packed[:m, 3:6] = self.map.pt_normal[pts]
+        packed[:m, 6] = self.map.pt_min_dist[pts]
+        packed[m:, 7] = 1e9
+        packed[:m, 7] = self.map.pt_max_dist[pts]
+        bits[:m] = np.packbits(
+            self.map.pt_desc01[pts], axis=1, bitorder="little"
+        )
+        valid[:m] = True
+        return pts, packed, bits, valid
+
     def _device_local_map(self):
         """Padded local-map arrays as device buffers, cached per map epoch:
         re-gathered only when mapping publishes an update (map.version
         bump) or the reference keyframe changes, so the steady-state frame
         loop uploads nothing but the image."""
+        from viorb_tpu.slam.kernels import unpack_local_map
+
         with self.map_lock:
             key = (id(self.map), self.map.version, self.last_kf_id)
             cache = self._lm_cache
             if cache is not None and cache[0] == key:
                 return cache[1], cache[2]
             kf_ids = self._local_kf_ids()
-            pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
+            pts, packed, desc, valid = self._gather_local_points_packed(
                 kf_ids
             )
-        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
-            valid, jnp.bfloat16
-        )[:, None]
-        dev = (
-            jnp.asarray(xyz),
-            desc_pm1,
-            jnp.asarray(valid),
-            jnp.asarray(normal),
-            jnp.asarray(dmin),
-            jnp.asarray(dmax),
+        dev = unpack_local_map(
+            jnp.asarray(packed), jnp.asarray(desc), jnp.asarray(valid)
         )
         self._lm_cache = (key, pts, dev)
         return pts, dev
+
+    # -- per-keyframe device payload cache ---------------------------------
+
+    _KF_DEV_CAP = 64  # payload entries kept resident (~0.8 MB each)
+
+    def _seed_kf_payload(self, kf_id: int, fr: FrameRecord):
+        """Register the (immutable) feature payload of a new keyframe with
+        the device arrays the tracked frame already owns — triangulation
+        and fusion then re-upload NOTHING per dispatch."""
+        if fr.xy_dev is None or fr.level_dev is None or fr.valid_dev is None:
+            return
+        desc01 = fr.desc01_dev
+        if desc01 is None:
+            desc01 = jnp.asarray(fr.host_desc01())
+        self._kf_dev[kf_id] = dict(
+            xy=fr.xy_dev,
+            level=fr.level_dev,
+            valid=fr.valid_dev,
+            desc01=desc01,
+            desc_pm1=fr.desc_pm1,
+        )
+        self._trim_kf_payloads()
+
+    def _kf_payload(self, kf_id: int) -> dict:
+        """Device-resident immutable payload of a keyframe (xy, level,
+        valid, desc01 u8, desc_pm1 bf16), uploaded once and cached."""
+        ent = self._kf_dev.get(kf_id)
+        if ent is None:
+            kf = self.map.keyframes[kf_id]
+            desc01 = (
+                kf.desc01_dev
+                if kf.desc01_dev is not None
+                else jnp.asarray(kf.ensure_desc01())
+            )
+            valid = jnp.asarray(kf.valid)
+            ent = dict(
+                xy=jnp.asarray(kf.xy),
+                level=jnp.asarray(kf.level),
+                valid=valid,
+                desc01=desc01,
+                desc_pm1=(desc01.astype(jnp.bfloat16) * 2 - 1)
+                * valid.astype(jnp.bfloat16)[:, None],
+            )
+            self._kf_dev[kf_id] = ent
+            self._trim_kf_payloads()
+        return ent
+
+    def _trim_kf_payloads(self):
+        while len(self._kf_dev) > self._KF_DEV_CAP:
+            # dict preserves insertion order: drop the oldest entry (old
+            # keyframes leave the active triangulation/fusion neighborhood)
+            self._kf_dev.pop(next(iter(self._kf_dev)))
 
     def _track_fused(self, image, ts: float) -> FrameRecord:
         """Steady-state tracking as ONE device dispatch + ONE host pull:
@@ -740,6 +849,9 @@ class MonoSlam:
             desc_pm1=fdesc,
             point_idx=np.full(nf, -1, np.int32),
             desc01_dev=feats.desc01,
+            xy_dev=xy_d,
+            level_dev=feats.level,
+            valid_dev=feats.valid,
         )
         fr.r_cw, fr.t_cw = r_pred, t_pred
         matched_feats = np.nonzero(pf >= 0)[0]
@@ -906,8 +1018,14 @@ class MonoSlam:
         )
         if not (interval_hit or ratio_hit):
             return False
-        if self.async_mapping and self._mapping_queue.qsize() >= 2:
-            # mapping saturated: defer unless the interval cap is 2x blown
+        if (
+            self.async_mapping
+            and self._mapping_queue.unfinished_tasks >= 2
+        ):
+            # mapping saturated (>= 2 jobs queued or running): defer
+            # unless the interval cap is 2x blown — keyframe production
+            # must not outrun the mapping thread (the reference gates on
+            # mpLocalMapper->AcceptKeyFrames())
             return self.frames_since_kf >= 2 * self.kf_max_interval
         return True
 
@@ -929,7 +1047,7 @@ class MonoSlam:
                 return False
             pt_ids = kf.point_idx.copy()
             pts_xyz = self.map.pt_xyz.copy()
-        d_k = jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1
+        d_k = jnp.asarray(kf.ensure_desc01(), jnp.bfloat16) * 2 - 1
         dist = hamming_matrix(d_k, fr.desc_pm1)
         gate = valid_gate(jnp.asarray(has), jnp.asarray(fr.valid))
         res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.85, mutual=True)
@@ -1000,7 +1118,7 @@ class MonoSlam:
                 has_c = (kf_c.point_idx >= 0) & kf_c.valid
                 if has_c.sum() < 15:
                     continue
-                d_c = jnp.asarray(kf_c.desc01, jnp.bfloat16) * 2 - 1
+                d_c = jnp.asarray(kf_c.ensure_desc01(), jnp.bfloat16) * 2 - 1
                 res_c = match_with_mask(
                     hamming_matrix(d_c, d_f),
                     valid_gate(jnp.asarray(has_c), jnp.asarray(fr.valid)),
@@ -1015,7 +1133,7 @@ class MonoSlam:
             has = (kf.point_idx >= 0) & kf.valid
             if has.sum() < 15:
                 continue
-            d_k = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
+            d_k = (jnp.asarray(kf.ensure_desc01(), jnp.bfloat16) * 2 - 1)
             dist = hamming_matrix(d_k, d_f)
             gate = valid_gate(jnp.asarray(has), jnp.asarray(fr.valid))
             res = match_with_mask(dist, gate, max_dist=50.0, ratio=0.85, mutual=True)
@@ -1069,6 +1187,7 @@ class MonoSlam:
                 p = int(fr.point_idx[f])
                 if self.map.pt_active[p]:
                     self.map.add_observation(p, kf_id, int(f))
+        self._seed_kf_payload(kf_id, fr)
         self.last_kf_id = kf_id
         # subclass hook (VI: attach the IMU segment + chain links + NavState)
         # runs BEFORE the job can start — the worker reads what it attaches
@@ -1088,10 +1207,14 @@ class MonoSlam:
         """Hook between KF creation and mapping-job dispatch."""
 
     def _mapping_job(self, kf_id: int):
-        """The LocalMapping step for one keyframe: triangulation, stats,
+        """The LocalMapping step for one keyframe: triangulation + fusion
+        (dispatched together, drained with ONE device pull), stats,
         windowed BA (skipped when a newer keyframe is already pending —
-        the reference's BA abort), culling, place recognition."""
+        the reference's BA abort; in async mode the BA WRITE-BACK is
+        deferred to the next job so its device round trip overlaps
+        tracking), culling, place recognition."""
         self._abort_ba = False
+        self._flush_pending_ba()
         with self.map_lock:
             if kf_id not in self.map.keyframes:
                 return
@@ -1108,12 +1231,40 @@ class MonoSlam:
                 prior = [k for k in self.map.keyframes if k < kf_id]
                 self.map.keyframes[kf_id].parent_kf = max(prior, default=-1)
         neighbors = sorted(cov, key=cov.get, reverse=True)[:3]
-        self._triangulate_batch(kf_id, neighbors)
-        # map-point fusion across the neighborhood (SearchInNeighbors)
+        # triangulation (CreateNewMapPoints) and fusion (SearchInNeighbors)
+        # dispatched back-to-back, ONE pull for both. Fusion runs on the
+        # PRE-triangulation point sets: this job's brand-new points are
+        # fused by the NEXT job's pass-1 instead (one-KF lag; the pull it
+        # saves is a full interconnect round trip per keyframe).
+        tri_launches = self._tri_dispatch(kf_id, neighbors)
+        fuse_launches, own, nb_pts = self._fuse_batch_dispatch(
+            kf_id, neighbors
+        )
+        kf = self.map.keyframes.get(kf_id)
+        deferred = kf is not None and kf.desc01 is None
+        pulls = [o for _, o in tri_launches] + [
+            h for _, h, _ in fuse_launches
+        ]
+        if deferred:
+            pulls.append(kf.desc01_dev)
+        if pulls:
+            pulled = jax.device_get(pulls)
+            if deferred:
+                kf.desc01 = pulled.pop()
+                kf.desc01_dev = None
+            nt = len(tri_launches)
+            dsc1 = None if kf is None else kf.ensure_desc01()
+            for (nb_id, _), (idx, X, good) in zip(tri_launches, pulled[:nt]):
+                self._tri_merge_pair(kf_id, nb_id, idx, X, good, dsc1)
+            with self.map_lock:
+                for (ids, _, target), pf in zip(fuse_launches, pulled[nt:]):
+                    self._fuse_apply(ids, pf, target)
         with self.map_lock:
-            self._search_in_neighbors(kf_id, neighbors)
-        with self.map_lock:
-            self.map.update_point_stats(self.map.local_map_points([kf_id]))
+            touched = self.map.local_map_points([kf_id])
+            if len(nb_pts):
+                touched = np.unique(np.concatenate([touched, nb_pts]))
+            alive = touched[self.map.pt_active[touched]]
+            self.map.update_point_stats(alive)
             window = [kf_id] + sorted(cov, key=cov.get, reverse=True)[
                 : self.local_window - 1
             ]
@@ -1124,6 +1275,7 @@ class MonoSlam:
             self._cull_points(kf_id)
             self._cull_keyframes(window)
         if self.loop_closer is not None:
+            self._flush_pending_ba()
             with self.map_lock:
                 self.loop_closer.add_keyframe(kf_id)
                 if getattr(self, "enable_loop_closing", False):
@@ -1160,7 +1312,8 @@ class MonoSlam:
             self._ba_skips += 1
             return
         self._ba_skips = 0
-        self._local_ba(window, fixed)
+        # async: dispatch now, write back at the next job (_flush_pending_ba)
+        self._local_ba(window, fixed, defer=self.async_mapping)
 
     def _mapping_worker(self):
         while True:
@@ -1173,6 +1326,15 @@ class MonoSlam:
                 self._worker_error = e
             finally:
                 self._mapping_queue.task_done()
+            # apply the job's deferred BA right away, AFTER task_done: the
+            # backlog gate releases at the job boundary (tracking resumes)
+            # while the BA round trip drains in this worker's idle gap —
+            # fresh triangulations get refined within ~a frame, not a
+            # whole keyframe interval later
+            try:
+                self._flush_pending_ba()
+            except BaseException as e:
+                self._worker_error = e
 
     def wait_mapping_idle(self):
         """Block until the stream and the mapping queue drain (lock-step
@@ -1181,11 +1343,16 @@ class MonoSlam:
         self.flush_stream()
         if self.async_mapping:
             self._mapping_queue.join()
+            self._flush_pending_ba()
             t = self._gba_thread
             if t is not None and t.is_alive():
                 t.join(timeout=300)
             if self._worker_error is not None:
                 raise RuntimeError("mapping worker died") from self._worker_error
+            if self._gba_error is not None:
+                raise RuntimeError(
+                    "post-loop GBA thread died"
+                ) from self._gba_error
 
     def shutdown(self):
         """Stop the collector and mapping worker (reference
@@ -1200,6 +1367,10 @@ class MonoSlam:
             self._mapping_queue.put(None)
             self._worker.join(timeout=30)
             self._worker = None
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=300)
+        self._gba_thread = None
 
     def reset(self):
         """Full system reset on unrecoverable pre-map loss (reference
@@ -1220,6 +1391,8 @@ class MonoSlam:
             self._stream_failed = False
             self._stream_fail_count = 0
             self._lm_cache = None
+            self._kf_dev = {}
+            self._pending_ba = None
             self.traj_entries = []
             self.n_tracked = 0
             self.lost_frames = 0
@@ -1270,6 +1443,8 @@ class MonoSlam:
             self._dev_carry = None
             self._carry_anchor = None
             self._lm_cache = None
+            self._kf_dev = {}
+            self._pending_ba = None
             if self.loop_closer is not None:
                 from viorb_tpu.slam.loop_closing import LoopCloser
 
@@ -1282,53 +1457,78 @@ class MonoSlam:
                 for k in active:
                     self.loop_closer.add_keyframe(k)
 
-    def _triangulate_batch(self, kf_id: int, nb_ids: List[int]):
-        """Triangulate the new keyframe against all its neighbours with
-        ONE batched device pull: each pair's static-shape kernel is
-        dispatched first, then a single device_get drains every result
-        (one interconnect round trip instead of one per neighbour —
-        ~30 ms each on a remote-attached chip)."""
+    def _tri_dispatch(self, kf_id: int, nb_ids: List[int]):
+        """Dispatch the triangulation kernel for every worthwhile pair;
+        immutable feature payloads come from the device payload cache —
+        only poses and free-masks ship per pair."""
         from viorb_tpu.slam.kernels import triangulate_between
 
+        sigma2_dev = jnp.asarray(self.sigma2)
         launches = []
         for nb_id in nb_ids:
             snap = self._triangulation_snapshot(kf_id, nb_id)
             if snap is None:
                 continue
-            (r1, t1, xy1, lv1, dsc1, free1,
-             r2, t2, xy2, lv2, dsc2, free2) = snap
+            r1, t1, free1, r2, t2, free2 = snap
+            p1 = self._kf_payload(kf_id)
+            p2 = self._kf_payload(nb_id)
             out = triangulate_between(
-                jnp.asarray(r1), jnp.asarray(t1), jnp.asarray(xy1),
-                jnp.asarray(lv1), jnp.asarray(dsc1), jnp.asarray(free1),
-                jnp.asarray(r2), jnp.asarray(t2), jnp.asarray(xy2),
-                jnp.asarray(lv2), jnp.asarray(dsc2), jnp.asarray(free2),
-                self.cam, jnp.asarray(self.sigma2),
+                jnp.asarray(r1), jnp.asarray(t1), p1["xy"],
+                p1["level"], p1["desc01"], jnp.asarray(free1),
+                jnp.asarray(r2), jnp.asarray(t2), p2["xy"],
+                p2["level"], p2["desc01"], jnp.asarray(free2),
+                self.cam, sigma2_dev,
             )
-            launches.append((nb_id, dsc1, out))
-        if not launches:
+            launches.append((nb_id, out))
+        return launches
+
+    def _tri_merge_pair(self, kf_id, nb_id, idx, X, good, dsc1):
+        """Merge one pulled triangulation result into the map."""
+        if not good.any() or dsc1 is None:
             return
-        pulled = jax.device_get([o for _, _, o in launches])
-        for (nb_id, dsc1, _), (idx, X, good) in zip(launches, pulled):
-            if not good.any():
-                continue
-            with self.map_lock:
-                kf = self.map.keyframes.get(kf_id)
-                nb = self.map.keyframes.get(nb_id)
-                if kf is None or nb is None:
-                    continue
-                for f1 in np.nonzero(good)[0]:
-                    f2 = idx[f1]
-                    # features may have been bound meanwhile (fusion or an
-                    # earlier neighbour's triangulation)
-                    if kf.point_idx[f1] >= 0 or nb.point_idx[f2] >= 0:
-                        continue
-                    p = self.map.add_point(X[f1], dsc1[f1], kf_id, int(f1))
-                    self.map.add_observation(p, nb_id, int(f2))
+        with self.map_lock:
+            kf = self.map.keyframes.get(kf_id)
+            nb = self.map.keyframes.get(nb_id)
+            if kf is None or nb is None:
+                return
+            # features may have been bound meanwhile (fusion or an
+            # earlier neighbour's triangulation); mutual matching
+            # guarantees the surviving f1/f2 sets are duplicate-free
+            f1s = np.nonzero(good)[0]
+            f2s = idx[f1s]
+            free = (kf.point_idx[f1s] < 0) & (nb.point_idx[f2s] < 0)
+            f1s, f2s = f1s[free], f2s[free]
+            self.map.add_points_batch(
+                X[f1s], dsc1[f1s], kf_id, f1s.astype(np.int32),
+                nb_id, f2s.astype(np.int32),
+            )
+
+    def _triangulate_batch(self, kf_id: int, nb_ids: List[int]):
+        """Standalone dispatch+pull+merge triangulation (the mapping job
+        uses _tri_dispatch/_tri_merge_pair to share its pull with
+        fusion). The new keyframe's deferred descriptor block rides the
+        same pull."""
+        launches = self._tri_dispatch(kf_id, nb_ids)
+        kf = self.map.keyframes.get(kf_id)
+        deferred = kf is not None and kf.desc01 is None
+        if not launches and not deferred:
+            return
+        pulls = [o for _, o in launches]
+        if deferred:
+            pulls.append(kf.desc01_dev)
+        pulled = jax.device_get(pulls)
+        if deferred:
+            kf.desc01 = pulled.pop()
+            kf.desc01_dev = None
+        dsc1 = None if kf is None else kf.ensure_desc01()
+        for (nb_id, _), (idx, X, good) in zip(launches, pulled):
+            self._tri_merge_pair(kf_id, nb_id, idx, X, good, dsc1)
 
     def _triangulation_snapshot(self, kf_id: int, nb_id: int):
-        """Lock-held snapshot of one keyframe pair's triangulation inputs
-        (baseline gate included); None when the pair is not worth
-        triangulating."""
+        """Lock-held snapshot of one keyframe pair's POSE + free-mask
+        triangulation inputs (baseline gate included); None when the pair
+        is not worth triangulating. Feature payloads come from the device
+        cache (_kf_payload)."""
         with self.map_lock:
             kf = self.map.keyframes.get(kf_id)
             nb = self.map.keyframes.get(nb_id)
@@ -1346,45 +1546,65 @@ class MonoSlam:
             if free1.sum() == 0 or free2.sum() == 0:
                 return None
             return (
-                kf.r_cw.copy(), kf.t_cw.copy(), kf.xy.copy(),
-                kf.level.copy(), kf.desc01.copy(), free1,
-                nb.r_cw.copy(), nb.t_cw.copy(), nb.xy.copy(),
-                nb.level.copy(), nb.desc01.copy(), free2,
+                kf.r_cw.copy(), kf.t_cw.copy(), free1,
+                nb.r_cw.copy(), nb.t_cw.copy(), free2,
             )
 
-    def _fuse_dispatch(self, pt_ids: np.ndarray, target_id: int, radius: float):
+    def _build_fuse_payload(self, pt_ids: np.ndarray):
+        """Upload ONE point payload (packed floats + bit-packed
+        descriptors + validity) shared by every fuse pair of a mapping
+        job. One fixed launch shape — every distinct capacity bucket
+        would be a fresh multi-second XLA compile."""
+        cap = self.max_local_points
+        pt_ids = pt_ids[:cap]
+        m = len(pt_ids)
+        packed = np.zeros((cap, 8), np.float32)
+        bits = np.zeros((cap, 32), np.uint8)
+        valid = np.zeros(cap, bool)
+        packed[:m, 0:3] = self.map.pt_xyz[pt_ids]
+        packed[:m, 3:6] = self.map.pt_normal[pt_ids]
+        packed[:m, 6] = self.map.pt_min_dist[pt_ids]
+        packed[m:, 7] = 1e9
+        packed[:m, 7] = self.map.pt_max_dist[pt_ids]
+        bits[:m] = np.packbits(
+            self.map.pt_desc01[pt_ids], axis=1, bitorder="little"
+        )
+        valid[:m] = self.map.pt_active[pt_ids]
+        payload = (jnp.asarray(packed), jnp.asarray(bits), jnp.asarray(valid))
+        return pt_ids, payload
+
+    def _fuse_dispatch(
+        self,
+        pt_ids: np.ndarray,
+        target_id: int,
+        radius: float,
+        payload=None,
+        row_of: Optional[np.ndarray] = None,
+    ):
         """Dispatch phase of Fuse: launch the projection-match kernel for
-        one (points, keyframe) pair; returns (pt_ids, device handle)."""
+        one (points, keyframe) pair; returns (pt_ids, device handle).
+        With a prebuilt union payload (batch callers) the per-pair
+        transfer is ONE small index vector; otherwise the payload is
+        built from pt_ids directly. The keyframe side always comes from
+        the device payload cache."""
+        from viorb_tpu.slam.kernels import fuse_match_gathered
+
         kf = self.map.keyframes.get(target_id)
         if kf is None or len(pt_ids) == 0:
             return None
-        # power-of-two capacity buckets: a fresh XLA compile per distinct
-        # point count costs seconds on a remote-attached chip, so the
-        # launch shape must not track the map size
-        cap = min(self.max_local_points, max(256, 1 << int(np.ceil(np.log2(len(pt_ids))))))
+        cap = self.max_local_points
         pt_ids = pt_ids[:cap]
-        xyz = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 256), np.uint8)
-        normal = np.zeros((cap, 3), np.float32)
-        dmin = np.zeros(cap, np.float32)
-        dmax = np.full(cap, 1e9, np.float32)
-        valid = np.zeros(cap, bool)
-        m = len(pt_ids)
-        xyz[:m] = self.map.pt_xyz[pt_ids]
-        desc[:m] = self.map.pt_desc01[pt_ids]
-        normal[:m] = self.map.pt_normal[pt_ids]
-        dmin[:m] = self.map.pt_min_dist[pt_ids]
-        dmax[:m] = self.map.pt_max_dist[pt_ids]
-        valid[:m] = self.map.pt_active[pt_ids]
-        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
-            valid, jnp.bfloat16
-        )[:, None]
-        d_kf = (jnp.asarray(kf.desc01, jnp.bfloat16) * 2 - 1)
-        point_for_feat, _, _n, _ = match_by_projection(
-            jnp.asarray(xyz), desc_pm1, jnp.asarray(valid),
-            jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+        sel = np.full(cap, -1, np.int32)
+        if payload is None:
+            pt_ids, payload = self._build_fuse_payload(pt_ids)
+            sel[: len(pt_ids)] = np.arange(len(pt_ids), dtype=np.int32)
+        else:
+            sel[: len(pt_ids)] = row_of[pt_ids]
+        pay = self._kf_payload(target_id)
+        point_for_feat, _, _n, _ = fuse_match_gathered(
+            *payload, jnp.asarray(sel),
             jnp.asarray(kf.r_cw), jnp.asarray(kf.t_cw),
-            jnp.asarray(kf.xy), d_kf, jnp.asarray(kf.valid),
+            pay["xy"], pay["desc_pm1"], pay["valid"],
             self.cam, jnp.float32(radius),
         )
         return pt_ids, point_for_feat
@@ -1429,36 +1649,53 @@ class MonoSlam:
         ids, pf_dev = out
         return self._fuse_apply(ids, np.asarray(pf_dev), target_id)
 
-    def _search_in_neighbors(self, kf_id: int, neighbors: List[int]):
-        """Two-pass fusion (reference LocalMapping::SearchInNeighbors,
-        src/LocalMapping.cc:1487): new KF's points into each neighbor,
-        then all neighbor points into the new KF. All pairs are dispatched
-        first and drained with ONE device pull (each pull is an
-        interconnect round trip); merges then apply sequentially with
-        alive-gating, so a point merged by an earlier pair simply drops
-        out of later ones."""
-        kf = self.map.keyframes.get(kf_id)
-        if kf is None:
-            return
-        own = kf.point_idx[kf.point_idx >= 0]
-        nb_pts = self.map.local_map_points(neighbors)
-        launches = []
-        for nb in neighbors:
-            out = self._fuse_dispatch(own, nb, 3.0)
+    def _fuse_batch_dispatch(self, kf_id: int, neighbors: List[int]):
+        """Dispatch phase of SearchInNeighbors: one shared union payload
+        upload, then one gather-dispatch per pair (new KF's points into
+        each neighbor + all neighbor points into the new KF, reference
+        src/LocalMapping.cc:1487). The lock is held only for the
+        snapshot — never across a device round trip."""
+        empty = np.zeros(0, np.int64)
+        with self.map_lock:
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None:
+                return [], empty, empty
+            own = kf.point_idx[kf.point_idx >= 0]
+            nb_pts = self.map.local_map_points(neighbors)
+            union = (
+                np.unique(np.concatenate([own, nb_pts]))
+                if len(nb_pts)
+                else own
+            )
+            union, payload = self._build_fuse_payload(union)
+            row_of = np.full(self.map.max_points, -1, np.int32)
+            row_of[union] = np.arange(len(union), dtype=np.int32)
+            launches = []
+            for nb in neighbors:
+                out = self._fuse_dispatch(own, nb, 3.0, payload, row_of)
+                if out is not None:
+                    launches.append((out[0], out[1], nb))
+            out = self._fuse_dispatch(nb_pts, kf_id, 3.0, payload, row_of)
             if out is not None:
-                launches.append((out[0], out[1], nb))
-        out = self._fuse_dispatch(nb_pts, kf_id, 3.0)
-        if out is not None:
-            launches.append((out[0], out[1], kf_id))
+                launches.append((out[0], out[1], kf_id))
+        return launches, own, nb_pts
+
+    def _search_in_neighbors(self, kf_id: int, neighbors: List[int]):
+        """Standalone two-pass fusion: dispatch, ONE pull, sequential
+        alive-gated merges, stats refresh (the mapping job shares the
+        pull with triangulation instead)."""
+        launches, own, nb_pts = self._fuse_batch_dispatch(kf_id, neighbors)
         if launches:
             pulled = jax.device_get([h for _, h, _ in launches])
-            for (ids, _, target), pf in zip(launches, pulled):
-                self._fuse_apply(ids, pf, target)
-        touched = np.unique(
-            np.concatenate([own, nb_pts]) if len(nb_pts) else own
-        )
-        alive = touched[self.map.pt_active[touched]]
-        self.map.update_point_stats(alive)
+            with self.map_lock:
+                for (ids, _, target), pf in zip(launches, pulled):
+                    self._fuse_apply(ids, pf, target)
+        with self.map_lock:
+            touched = np.unique(
+                np.concatenate([own, nb_pts]) if len(nb_pts) else own
+            )
+            alive = touched[self.map.pt_active[touched]]
+            self.map.update_point_stats(alive)
 
     def _project_np(self, pc):
         z = np.maximum(pc[:, 2:3], 1e-6)
@@ -1477,6 +1714,7 @@ class MonoSlam:
         fixed: List[int],
         max_landmarks: int = 0,
         abort_check=None,
+        defer: bool = False,
     ):
         max_landmarks = max_landmarks or self.max_ba_landmarks
         with self.map_lock:
@@ -1523,34 +1761,104 @@ class MonoSlam:
             state, obs, self.cam, jnp.asarray(fixed_mask),
             bf=None if bf is None else jnp.float32(bf),
         )
-        # write back (under the lock; the solve above ran on snapshots);
-        # one batched pull for the whole result set
+        with self.map_lock:
+            # snapshot for the deferred write-back: keyframes created
+            # between this solve and its application must be corrected
+            # through their reference (the newest solved KF) or the BA
+            # moves the world out from under them
+            next_kf_at_solve = self.map._next_kf
+            ref_id = max(
+                (
+                    i
+                    for s, i in enumerate(kf_list)
+                    if not fixed_mask[s] and i in self.map.keyframes
+                ),
+                default=-1,
+            )
+            ref_pre = (
+                None
+                if ref_id < 0
+                else (
+                    self.map.keyframes[ref_id].r_cw.copy(),
+                    self.map.keyframes[ref_id].t_cw.copy(),
+                )
+            )
+        job = (
+            kf_list, pt_ids, kf_idx, valid, fixed_mask, out, obs2,
+            abort_check, self._loop_epoch, next_kf_at_solve, ref_id, ref_pre,
+        )
+        if defer:
+            # async mode: hand the in-flight solve to the NEXT mapping
+            # job (or wait_mapping_idle), overlapping the device round
+            # trip + write-back with tracking
+            self._pending_ba = job
+            return
+        self._apply_ba_result(*job)
+
+    def _flush_pending_ba(self):
+        job, self._pending_ba = self._pending_ba, None
+        if job is not None:
+            self._apply_ba_result(*job)
+
+    def _apply_ba_result(
+        self, kf_list, pt_ids, kf_idx, valid, fixed_mask, out, obs2,
+        abort_check, epoch0, next_kf_at_solve, ref_id, ref_pre,
+    ):
+        # write back (under the lock; the solve ran on snapshots); one
+        # batched pull for the whole result set
         r_new, t_new, p_new, valid_new = jax.device_get(
             (out.r_cw, out.t_cw, out.points, obs2.valid)
         )
-        obs2 = obs2._replace(valid=valid_new)
         with self.map_lock:
             if abort_check is not None and abort_check():
                 # a newer loop correction superseded this solve while it
                 # was in flight (reference kills the GBA thread,
                 # src/LoopClosing.cc:432-460) — discard it
                 return
+            if epoch0 != self._loop_epoch:
+                # a loop correction rewrote the map between this solve's
+                # snapshot and its (possibly deferred) write-back —
+                # applying a pre-correction solution would undo it
+                return
             for s, i in enumerate(kf_list):
                 if not fixed_mask[s] and i in self.map.keyframes:
                     self.map.keyframes[i].r_cw = r_new[s]
                     self.map.keyframes[i].t_cw = t_new[s]
+            # keyframes created AFTER this solve's snapshot (deferred
+            # write-back overlaps tracking) ride the correction through
+            # their reference — the newest solved keyframe — exactly like
+            # the reference's post-GBA spanning-tree pass
+            # (src/LoopClosing.cc:700-819). Without this, the solve moves
+            # the window and points out from under the new keyframe (and
+            # the streaming carry anchored to it) and tracking collapses.
+            if ref_pre is not None and ref_id in self.map.keyframes:
+                r_old, t_old = ref_pre
+                rk = self.map.keyframes[ref_id]
+                for i in sorted(self.map.keyframes):
+                    if i < next_kf_at_solve or i in kf_list:
+                        continue
+                    kf = self.map.keyframes[i]
+                    r_rel = kf.r_cw @ r_old.T
+                    t_rel = kf.t_cw - r_rel @ t_old
+                    kf.r_cw = normalize_np(r_rel @ rk.r_cw)
+                    kf.t_cw = (r_rel @ rk.t_cw + t_rel).astype(np.float32)
             alive = self.map.pt_active[pt_ids]
             self.map.pt_xyz[pt_ids[alive]] = p_new[: len(pt_ids)][alive]
             # remove observations BA marked as outliers
             was_valid = valid
-            now_valid = np.asarray(obs2.valid)
-            dropped = was_valid & ~now_valid
+            dropped = was_valid & ~valid_new
             for row in np.nonzero(dropped.any(axis=1))[0]:
                 p = int(pt_ids[row])
                 if not self.map.pt_active[p]:
                     continue
                 for s in np.nonzero(dropped[row])[0]:
                     self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+            # publish: every consumer keyed on map.version (device
+            # local-map cache, streaming carry re-anchor) must see BA
+            # pose/point movement — the async GBA thread in particular has
+            # no other version bump (the mapping job's bump fires before
+            # the GBA completes)
+            self.map.version += 1
 
     def _post_loop_gba(self, anchor_kf: int, scale_by_kf=None):
         """Full-map BA after a loop correction, anchored at the loop
@@ -1583,7 +1891,7 @@ class MonoSlam:
         try:
             self._post_loop_gba_impl(anchor_kf, scale_by_kf, epoch)
         except BaseException as e:
-            self._worker_error = e
+            self._gba_error = e
 
     def _post_loop_gba_impl(self, anchor_kf: int, scale_by_kf, epoch):
         with self.map_lock:
@@ -1648,6 +1956,9 @@ class MonoSlam:
                 kf = self.map.keyframes[ref]
                 x_cam = r_old @ self.map.pt_xyz[p_] + t_old
                 self.map.pt_xyz[p_] = kf.r_cw.T @ (x_cam - kf.t_cw)
+            # the spanning-tree correction moved keyframes again after
+            # _local_ba's publication — re-publish
+            self.map.version += 1
 
     def _can_cull(self, k: int) -> bool:
         """Subclass veto hook (VI adds preintegration time-gap guards)."""
@@ -1704,6 +2015,7 @@ class MonoSlam:
                 if self.loop_closer is not None:
                     self.loop_closer.db.remove(k)
                 del self.map.keyframes[k]
+                self._kf_dev.pop(k, None)
                 return
 
     def _cull_points(self, kf_id: int):
@@ -1747,6 +2059,7 @@ class MonoSlam:
         import jax.numpy as jnp_
 
         self.flush_stream()
+        self._flush_pending_ba()
         rows = []
         for ts, kf_id, r_rel, t_rel in self.traj_entries:
             kf = self.map.keyframes.get(kf_id)
@@ -1762,11 +2075,26 @@ class MonoSlam:
 
 
 def normalize_np(R: np.ndarray) -> np.ndarray:
-    return np.asarray(normalize_rotation(jnp.asarray(R))).astype(np.float32)
+    """Re-orthonormalize a 3x3 rotation ON HOST (SVD projection). This
+    runs twice per tracked frame (motion-model prediction + velocity
+    update); the previous jnp round trip cost a full tunnel RTT
+    (~100-200 ms) per call and silently dominated the whole lock-step /
+    async frame loop."""
+    u, _, vt = np.linalg.svd(R.astype(np.float64))
+    d = np.sign(np.linalg.det(u @ vt))
+    return (u @ np.diag([1.0, 1.0, d]) @ vt).astype(np.float32)
 
 
 def _pose_bucket(n: int) -> int:
-    """Round a BA pose count up to the next multiple of 4 (min 4): static
-    launch shapes so XLA compiles a handful of programs, not one per
-    window+anchor combination."""
-    return max(4, (n + 3) & ~3)
+    """Bucket a BA pose count to ONE of a tiny fixed set of launch shapes:
+    4 (two-view init), 20 (any local window: 10 KFs + up to 8 anchors),
+    then multiples of 8 (global BA, which grows with the map). Each
+    distinct bucket is a fresh XLA compile (tens of seconds over a
+    remote-attached chip), and a bucket first seen mid-run stalls the
+    pipeline for exactly that long — padded pose slots are near-free, so
+    buy fewer shapes with more padding."""
+    if n <= 4:
+        return 4
+    if n <= 20:
+        return 20
+    return (n + 7) & ~7

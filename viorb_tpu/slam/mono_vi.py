@@ -905,6 +905,9 @@ class MonoViSlam(MonoSlam):
             desc_pm1=fdesc,
             point_idx=np.full(nf, -1, np.int32),
             desc01_dev=feats.desc01,
+            xy_dev=xy_d,
+            level_dev=feats.level,
+            valid_dev=feats.valid,
         )
         matched_feats = np.nonzero(pf >= 0)[0]
         n_inl = int(inl.sum())
@@ -968,18 +971,14 @@ class MonoViSlam(MonoSlam):
     def _device_local_map_vi(self, kf_ids):
         """Padded local-map device buffers for the fused VI core (same
         layout as the mono _device_local_map; caller holds the lock)."""
+        from viorb_tpu.slam.kernels import unpack_local_map
+
         key = (id(self.map), self.map.version, self.last_kf_id)
         if self._lm_cache is not None and self._lm_cache[0] == key:
             return self._lm_cache[1], self._lm_cache[2]
-        pts, xyz, desc, normal, dmin, dmax, valid = self._gather_local_points(
-            kf_ids
-        )
-        desc_pm1 = (jnp.asarray(desc, jnp.bfloat16) * 2 - 1) * jnp.asarray(
-            valid, jnp.bfloat16
-        )[:, None]
-        dev = (
-            jnp.asarray(xyz), desc_pm1, jnp.asarray(valid),
-            jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+        pts, packed, desc, valid = self._gather_local_points_packed(kf_ids)
+        dev = unpack_local_map(
+            jnp.asarray(packed), jnp.asarray(desc), jnp.asarray(valid)
         )
         self._lm_cache = (key, pts, dev)
         return pts, dev
@@ -1263,3 +1262,6 @@ class MonoViSlam(MonoSlam):
                     continue
                 for s in np.nonzero(dropped[row])[0]:
                     self.map.remove_observation(p, int(kf_list[kf_idx[row, s]]))
+            # publish the moved poses/points to version-keyed consumers
+            # (device local-map cache, streaming carry re-anchor)
+            self.map.version += 1

@@ -95,7 +95,7 @@ class RgbdSlam(MonoSlam):
         kf = self._kf_from_frame(fr)
         kf_id = self.map.add_keyframe(kf)
         for f in np.nonzero(ok)[0]:
-            p = self.map.add_point(pts_w[f], fr.desc01[f], kf_id, int(f))
+            p = self.map.add_point(pts_w[f], fr.host_desc01()[f], kf_id, int(f))
             fr.point_idx[f] = p
         self.map.update_point_stats(self.map.active_point_ids())
         if self.loop_closer is not None:
@@ -127,5 +127,5 @@ class RgbdSlam(MonoSlam):
             )
             pts_w = self._backproject(fr, z)
             for f in np.nonzero(free)[0]:
-                self.map.add_point(pts_w[f], kf.desc01[f], kf_id, int(f))
+                self.map.add_point(pts_w[f], kf.ensure_desc01()[f], kf_id, int(f))
             self.map.update_point_stats(self.map.local_map_points([kf_id]))

@@ -229,6 +229,14 @@ def _build_streaming_track_core(cam: PinholeCamera, extractor: OrbExtractor):
         # zero lag); the collector additionally watches for WEAK streaks
         # (low-inlier solutions that pass this gate but poison the carry)
         ok = (nmatch >= 10) & (n_inl >= 10)
+        # re-orthonormalize the carried rotation: the LM composes dR
+        # products frame after frame with no host resync, and the f32
+        # drift compounds across the carry chain (the synchronous path
+        # renormalizes at every prediction — without this the streamed
+        # trajectory slides off the lock-step one within ~10 frames)
+        from viorb_tpu.geometry.so3 import normalize_rotation
+
+        r_new = normalize_rotation(r_new)
         # velocity update T_new * T_old^{-1}; freeze the carry on failure
         vel_r = r_new @ carry.r_cw.T
         vel_t = t_new - (vel_r @ carry.t_cw)

@@ -201,6 +201,21 @@ def _eiv_scale_solve(
         sp2 = max(0.0, (rss - sb_eff) / max(s_hat**2 * c_eff, 1e-12))
         gram_corr = max(gram - c_eff * sp2, 0.25 * gram)  # safeguard
         s_hat = cross / gram_corr
+    # Safeguards: the residual-moment sp2 soaks up ANY unmodeled rhs noise
+    # (e.g. vision-rotation terms in gamma), so in low-information windows
+    # the Gram correction can inflate the scale far beyond the attenuation
+    # it is meant to undo (~10-15% on refined maps, measured round 3).
+    # With too few triplets the moment estimate is statistically
+    # meaningless — keep OLS; otherwise bound the inflation by a margin
+    # that tightens as the row count (and thus the sp2 estimate's
+    # reliability) grows.
+    n_rows = at.shape[0]
+    if n_rows < 24:  # < 8 triplets
+        theta = np.linalg.lstsq(B, b - a * s_ols, rcond=None)[0]
+        return float(s_ols), theta
+    max_infl = 1.2 + 2.0 / np.sqrt(n_rows / 3.0)
+    if abs(s_hat) > max_infl * abs(s_ols):
+        s_hat = float(np.sign(s_hat)) * max_infl * abs(s_ols)
     theta = np.linalg.lstsq(B, b - a * s_hat, rcond=None)[0]
     return float(s_hat), theta
 
