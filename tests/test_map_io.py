@@ -169,3 +169,33 @@ def test_localization_only_from_loaded_map(tmp_path):
     c2 = -fr.r_cw.T @ fr.t_cw
     c1 = -r1.T @ t1
     assert np.linalg.norm(c2 - c1) < 0.1, (c2, c1)
+
+
+def test_stock_vocabulary_cross_scene_relocalization(tmp_path):
+    """The SHIPPED vocabulary (assets/vocab.npz, trained on held-out
+    worlds by bow.build_asset — counterpart of the reference's stock
+    ORBvoc + binary loader, TemplatedVocabulary.h:241-259) must support
+    BoW relocalization in a scene it never saw: map scene A with the
+    stock vocab, save, reopen in a fresh session with the SAME stock
+    vocab, and relocalize after --load-map."""
+    from viorb_tpu.bow import default_vocabulary
+
+    vocab = default_vocabulary()
+    assert vocab.n_words >= 200  # a real tree, not a toy
+    seq = make_sequence(n_frames=45, seed=0, dt=0.1)  # scene A: unseen
+    slam = MonoSlam(seq.cam, n_features=800, vocabulary=vocab)
+    for img, ts in zip(seq.images[:45], seq.timestamps[:45]):
+        slam.process_frame(img, float(ts))
+    assert slam.state == "OK"
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)
+    slam.shutdown()
+
+    slam2 = MonoSlam(seq.cam, n_features=800, vocabulary=vocab)
+    slam2.load_map(path, localization_only=True)
+    states = []
+    for img, ts in zip(seq.images[25:40], seq.timestamps[25:40]):
+        states.append(slam2.process_frame(img, float(ts))["state"])
+    assert "OK" in states, states
+    assert states[-1] == "OK", states
+    slam2.shutdown()

@@ -83,6 +83,33 @@ def load_tum_rgbd(seq_dir: str, associations: str):
     return MonoFrameStream(np.array(ts), rgb), depth
 
 
+def load_depth(path: str, depth_map_factor: float = 5000.0) -> np.ndarray:
+    """Depth image -> meters (reference Examples/RGB-D/rgbd_tum.cc reads
+    16-bit PNGs scaled by DepthMapFactor=5000). Supports .npy (synthetic
+    dumps), 16-bit PGM, and PNG via matplotlib."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith((".pgm", ".PGM")):
+        with open(path, "rb") as f:
+            assert f.readline().strip() in (b"P5", b"P2")
+            ln = f.readline()
+            while ln.startswith(b"#"):
+                ln = f.readline()
+            w, h = map(int, ln.split())
+            maxv = int(f.readline())
+            data = np.frombuffer(f.read(), np.uint8 if maxv < 256 else ">u2")
+            return data.reshape(h, w).astype(np.float32) / depth_map_factor
+    import matplotlib.image as mpimg
+
+    img = mpimg.imread(path)
+    if img.ndim == 3:
+        img = img[..., 0]
+    if img.dtype.kind == "f":
+        # matplotlib normalizes PNG to [0,1] (16-bit loses nothing)
+        img = img * 65535.0
+    return img.astype(np.float32) / depth_map_factor
+
+
 def load_euroc_mono(seq_dir: str, timestamp_file: Optional[str] = None) -> MonoFrameStream:
     """EuRoC mav0/cam0/data + data.csv (ns timestamps)."""
     cam_dir = os.path.join(seq_dir, "mav0", "cam0")

@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -31,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--config", help="settings YAML (reference schema)")
     ap.add_argument("--vi", action="store_true", help="visual-inertial mode")
     ap.add_argument("--stereo", action="store_true", help="stereo mode")
+    ap.add_argument("--rgbd", action="store_true",
+                    help="RGB-D mode (TUM associations / synthetic depth; "
+                         "reference Examples/RGB-D/rgbd_tum.cc)")
+    ap.add_argument("--associations", default=None, metavar="TXT",
+                    help="TUM RGB-D associations file "
+                         "(default <path>/associations.txt)")
     ap.add_argument("--baseline", type=float, default=0.11,
                     help="stereo baseline (m) when the config has no Camera.bf")
     ap.add_argument("--frames", type=int, default=60)
@@ -68,12 +75,23 @@ def main(argv=None):
                          "carry + collector thread with batched pulls "
                          "(mono/stereo-less modes; keyframe decisions lag "
                          "by up to --streaming-depth frames)")
-    ap.add_argument("--streaming-depth", type=int, default=8)
+    ap.add_argument("--streaming-depth", type=int, default=2)
+    ap.add_argument("--vocab", default=None, metavar="NPZ",
+                    help="BoW vocabulary npz; default: the bundled "
+                         "assets/vocab.npz (reference: stock ORBvoc + "
+                         "tools/bin_vocabulary.cc)")
+    ap.add_argument("--loop-closing", action="store_true",
+                    help="enable BoW loop detection + closure + GBA")
     args = ap.parse_args(argv)
     if args.dataset != "synthetic" and not args.path:
         ap.error(f"--dataset {args.dataset} requires --path <sequence dir>")
     if args.localization_only and not args.load_map:
         ap.error("--localization-only requires --load-map")
+    if args.rgbd and (args.vi or args.stereo):
+        ap.error("--rgbd is mutually exclusive with --vi/--stereo")
+    if args.rgbd and args.dataset not in ("synthetic", "tum"):
+        ap.error("--rgbd supports --dataset tum or synthetic "
+                 "(the reference ships rgbd_tum only)")
 
     from viorb_tpu.io.config import SlamConfig
     from viorb_tpu.io.trajectory import (
@@ -97,6 +115,8 @@ def main(argv=None):
     imu_stream = None
     right_paths = None
     right_images = None
+    depth_paths = None
+    depth_images = None
     if args.dataset == "synthetic":
         from viorb_tpu.io.synthetic import (
             make_imu,
@@ -108,6 +128,10 @@ def main(argv=None):
             seq, right_images = make_stereo_sequence(
                 n_frames=args.frames, dt=0.1, baseline=args.baseline
             )
+        elif args.rgbd:
+            seq, depth_images = make_sequence(
+                n_frames=args.frames, dt=0.1, with_depth=True
+            )
         else:
             seq = make_sequence(n_frames=args.frames, dt=0.1)
         frames = list(zip(seq.timestamps.tolist(), seq.images))
@@ -116,9 +140,16 @@ def main(argv=None):
             imu = make_imu(args.frames, 0.1)
             imu_stream = (imu.t, imu.gyro, imu.acc)
     elif args.dataset == "tum":
-        from viorb_tpu.io.datasets import load_tum_mono
+        from viorb_tpu.io.datasets import load_tum_mono, load_tum_rgbd
 
-        frames = list(load_tum_mono(args.path))
+        if args.rgbd:
+            assoc = args.associations or os.path.join(
+                args.path, "associations.txt"
+            )
+            left, depth_paths = load_tum_rgbd(args.path, assoc)
+            frames = list(left)
+        else:
+            frames = list(load_tum_mono(args.path))
     elif args.dataset == "euroc":
         from viorb_tpu.io.datasets import (
             load_euroc_imu,
@@ -145,6 +176,19 @@ def main(argv=None):
         else:
             frames = list(load_kitti_mono(args.path))
 
+    # vocabulary: explicit file, else the bundled asset when a consumer
+    # (loop closing, map-resume relocalization) needs one
+    vocab = None
+    if args.vocab:
+        from viorb_tpu.bow import BinaryVocabulary
+
+        vocab = BinaryVocabulary.load(args.vocab)
+    elif args.loop_closing or args.load_map:
+        from viorb_tpu.bow import default_vocabulary
+
+        vocab = default_vocabulary()
+    vkw = dict(vocabulary=vocab, enable_loop_closing=args.loop_closing)
+
     # system
     if args.vi:
         from viorb_tpu.slam.mono_vi import MonoViSlam
@@ -156,6 +200,7 @@ def main(argv=None):
             n_features=n_features,
             local_window=cfg.local_window,
             vi_init_min_time=min(cfg.vins_init_time, 3.0),
+            **vkw,
         )
         if args.init_log_dir:
             slam.init_log_dir = args.init_log_dir
@@ -169,6 +214,14 @@ def main(argv=None):
             depth_factor=cfg.depth_th_factor,
             n_features=n_features,
             local_window=cfg.local_window,
+            **vkw,
+        )
+    elif args.rgbd:
+        from viorb_tpu.slam.rgbd import RgbdSlam
+
+        slam = RgbdSlam(
+            cfg.camera, n_features=n_features, local_window=cfg.local_window,
+            **vkw,
         )
     else:
         from viorb_tpu.slam.mono import MonoSlam
@@ -176,6 +229,7 @@ def main(argv=None):
         slam = MonoSlam(
             cfg.camera, n_features=n_features, local_window=cfg.local_window,
             streaming=args.streaming, streaming_depth=args.streaming_depth,
+            **vkw,
         )
 
     if args.load_map:
@@ -194,7 +248,7 @@ def main(argv=None):
         viewer = Viewer(args.viz_dir, every=args.viz_every)
 
     use_vi_stream = args.vi and imu_stream is not None
-    if args.stream != "direct" and not args.stereo:
+    if args.stream != "direct" and not args.stereo and not args.rgbd:
         # queue-fed replay through MsgSynchronizer (reference ros_vio
         # lock-step / ros_vio_realtime drop-when-behind; vision-only
         # nodes are the same loop with an images-only synchronizer)
@@ -272,6 +326,16 @@ def main(argv=None):
 
                 img_r = _load_gray(right_paths[i])
             info = slam.process_frame_stereo(img, img_r, float(ts))
+        elif args.rgbd:
+            if depth_images is not None:
+                dep = np.asarray(depth_images[i])
+            else:
+                from viorb_tpu.io.datasets import load_depth
+
+                dep = load_depth(
+                    depth_paths[i], cfg.depth_map_factor or 5000.0
+                )
+            info = slam.process_frame_rgbd(img, dep, float(ts))
         else:
             info = slam.process_frame(img, float(ts))
         times.append(time.perf_counter() - t0)
