@@ -273,6 +273,27 @@ def _arc_pose_params(ts: np.ndarray):
     return rs, cs
 
 
+def _spin_pose_params(ts: np.ndarray):
+    """V1_03-class stress spline (the reference's own documented failure
+    regime: fast rotation + low parallax, launch/euroc.yaml:12-14): the
+    'arc' path with a violent-but-smooth Gaussian yaw excursion around
+    t=5 s (late enough that VI init completes on the clean prefix). The
+    peak pans at ~220 deg/s through a ~178-degree sweep — through walls
+    no keyframe ever mapped and across the room's OPEN (textureless)
+    side, with arc-scale translation (low parallax) — starving vision
+    for ~1-2 s before the view returns. The VI pipeline must bridge the
+    outage with IMU-only dead reckoning and re-lock (or relocalize)."""
+    rs_arc, cs = _arc_pose_params(ts)
+    extra = 3.1 * np.exp(-(((ts - 5.0) / 0.7) ** 2))
+    rs = np.stack(
+        [
+            _rodrigues_np(np.array([0.0, e, 0.0])) @ r
+            for e, r in zip(extra, rs_arc)
+        ]
+    )
+    return rs, cs
+
+
 def _circuit_pose_params(ts: np.ndarray, period: float):
     """The 'circuit' trajectory's exact pose spline (shared by
     make_trajectory and make_imu): a closed loop with a full 2*pi yaw
@@ -320,6 +341,11 @@ def make_imu(
     if kind == "circuit":
         period = 0.8 * (n_frames - 1) * frame_dt
         R, c = _circuit_pose_params(tt, period)
+    elif kind == "laps":
+        period = 0.4 * (n_frames - 1) * frame_dt
+        R, c = _circuit_pose_params(tt, period)
+    elif kind == "spin":
+        R, c = _spin_pose_params(tt)
     else:
         R, c = _arc_pose_params(tt)
     v = np.gradient(c, h, axis=0)
@@ -394,6 +420,16 @@ def make_trajectory(
         period = 0.8 * (n_frames - 1) * dt
         rs, cs = _circuit_pose_params(ts, period)
         return rs.astype(np.float32), cs.astype(np.float32)
+    if kind == "laps":
+        # TWO full circuits (long-run stress: multi-loop closure + map
+        # growth): same closed loop, half the period — every point of the
+        # circuit is revisited once, the start twice
+        period = 0.4 * (n_frames - 1) * dt
+        rs, cs = _circuit_pose_params(ts, period)
+        return rs.astype(np.float32), cs.astype(np.float32)
+    if kind == "spin":
+        rs, cs = _spin_pose_params(ts)
+        return rs.astype(np.float32), cs.astype(np.float32)
     rs, cs = _arc_pose_params(ts)
     return rs.astype(np.float32), cs.astype(np.float32)
 
@@ -440,7 +476,7 @@ def make_sequence(
         # kernels + per-chunk syncs pathologically slow.
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            planes = default_room(seed, closed=(kind == "circuit"))
+            planes = default_room(seed, closed=(kind in ("circuit", "laps")))
             arrays = _stack_planes(planes)
             fn = _get_render_fn(cam)
             batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
@@ -523,7 +559,7 @@ def make_stereo_sequence(
 
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            planes = default_room(seed, closed=(kind == "circuit"))
+            planes = default_room(seed, closed=(kind in ("circuit", "laps")))
             arrays = _stack_planes(planes)
             fn = _get_render_fn(cam)
             batched = jax.jit(jax.vmap(fn, in_axes=(0, 0, None)))
