@@ -179,7 +179,7 @@ class MonoSlam:
                 target=self._mapping_worker, daemon=True
             )
             self._worker.start()
-        # streaming mode (EXPERIMENTAL realtime mode): the tracker thread
+        # streaming (realtime) mode: the tracker thread
         # only DISPATCHES the fused core (device-resident pose/velocity
         # carry, zero per-frame pulls); a collector thread drains the
         # in-flight results with batched device_gets and runs the host
@@ -189,10 +189,10 @@ class MonoSlam:
         # thread + realtime mode, with the same trade the reference's
         # realtime node makes: under fast motion with mapping behind,
         # frames are sacrificed (fallback -> relocalization) rather than
-        # corrupted. Zero-lag behavior is exactly the lock-step pipeline
-        # (tests/test_streaming.py proves per-frame equality on the clip
-        # prefix); accuracy-critical offline runs should use lock-step or
-        # plain async mapping.
+        # corrupted. Tested contracts (tests/test_streaming.py): zero-lag
+        # behavior is per-frame-equal to lock-step, and at the default
+        # depth the un-flushed whole-clip run keeps >=80% of frames with
+        # a bounded ATE envelope.
         self.streaming = streaming
         # streaming dispatch blocks while this many mapping jobs are
         # unfinished. 1 = the map is never more than the in-flight window
